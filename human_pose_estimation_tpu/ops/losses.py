@@ -1,0 +1,188 @@
+"""Training losses, XLA-static throughout.
+
+Capability parity with ref src/ops.py (kp_reprojection_loss,
+mesh_reprojection_loss + helpers, compute_gradient_penalty), redesigned
+for TPU:
+
+* The mesh-reprojection (bidirectional chamfer) loss takes a *padded*
+  per-image silhouette pixel tensor + mask instead of the reference's
+  ragged ``tf.where`` output, and the batch loop becomes a batched,
+  P-chunked computation with static shapes (SURVEY.md §7 hard part 1).
+* The WGAN gradient penalty supports both the reference's
+  norm-of-mean-gradient formulation (src/ops.py:153-163) and the paper's
+  per-sample formulation behind a flag (SURVEY.md §8 quirk 7).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "keypoint_reprojection_loss",
+    "chamfer_loss",
+    "mesh_reprojection_loss",
+    "gradient_penalty",
+]
+
+
+def keypoint_reprojection_loss(kp_gt: jax.Array, kp_pred: jax.Array) -> jax.Array:
+    """Visibility-weighted L1 keypoint loss.
+
+    Matches ``tf.losses.absolute_difference(..., weights=vis)`` with its
+    SUM_BY_NONZERO_WEIGHTS reduction (ref src/ops.py:35-47): the sum of
+    visible |error| divided by the number of *broadcast* nonzero weight
+    elements, i.e. 2 x (#visible keypoints).
+
+    Args:
+      kp_gt: (N, K, 3) [x, y, visibility].
+      kp_pred: (N, K, 2).
+    Returns:
+      scalar loss.
+    """
+    vis = kp_gt[..., 2:3]
+    err = jnp.abs(kp_gt[..., :2] - kp_pred) * vis
+    num_present = jnp.count_nonzero(vis) * 2
+    denom = jnp.maximum(num_present, 1).astype(err.dtype)
+    return jnp.sum(err) / denom
+
+
+def chamfer_loss(
+    gt_points: jax.Array,
+    gt_mask: jax.Array,
+    pred_points: jax.Array,
+    chunk_size: int = 1024,
+) -> jax.Array:
+    """Bidirectional chamfer between padded gt pixel sets and predicted
+    vertex projections, per batch element.
+
+    Asymmetric like the reference (src/ops.py:83-102): gt->pred uses the
+    L1 distance to the (L2-)nearest predicted vertex; pred->gt uses the L2
+    distance to the nearest gt pixel. Padded gt entries are excluded from
+    both directions.
+
+    Streaming formulation: the (P, V) distance matrix is never fully
+    materialized — gt pixels are processed in chunks of ``chunk_size``
+    under ``lax.scan``, carrying a running (min-dist, nearest-xy) pair for
+    the pred->gt direction. Peak memory is O(chunk_size * V) instead of
+    O(P * V).
+
+    Args:
+      gt_points: (N, P, 2) padded gt pixel coordinates (x is free; the
+        reference stacks [y, x]-order pixel coords — callers choose, both
+        sides just need the same convention).
+      gt_mask: (N, P) 1.0 for real pixels, 0.0 for padding.
+      pred_points: (N, V, 2).
+    Returns:
+      (N,) unnormalized bidirectional distances.
+    """
+    n, p, _ = gt_points.shape
+    v = pred_points.shape[1]
+    big = jnp.asarray(jnp.finfo(gt_points.dtype).max, gt_points.dtype)
+
+    pred_sq = jnp.sum(pred_points**2, axis=-1)  # (N, V)
+
+    pad = (-p) % chunk_size
+    if pad:
+        gt_points = jnp.pad(gt_points, ((0, 0), (0, pad), (0, 0)))
+        gt_mask = jnp.pad(gt_mask, ((0, 0), (0, pad)))
+    num_chunks = gt_points.shape[1] // chunk_size
+    gt_points_c = gt_points.reshape(n, num_chunks, chunk_size, 2).transpose(1, 0, 2, 3)
+    gt_mask_c = gt_mask.reshape(n, num_chunks, chunk_size).transpose(1, 0, 2)
+
+    def scan_body(carry, chunk):
+        best_sq, best_xy, l1_acc = carry
+        pts, mask = chunk  # (N, C, 2), (N, C)
+        # Squared distances (N, C, V) for this chunk of gt pixels.
+        d = (
+            jnp.sum(pts**2, axis=-1)[..., None]
+            - 2.0 * jnp.einsum("ncx,nvx->ncv", pts, pred_points)
+            + pred_sq[:, None, :]
+        )
+        # gt -> pred: L1 to the L2-argmin vertex, masked accumulate.
+        idx = jnp.argmin(d, axis=-1)  # (N, C)
+        nearest = jnp.take_along_axis(pred_points, idx[..., None], axis=1)
+        l1 = jnp.sum(jnp.abs(pts - nearest), axis=-1) * mask
+        l1_acc = l1_acc + jnp.sum(l1, axis=-1)
+        # pred -> gt: running min over masked gt pixels, tracking coords so
+        # the final distance is an exact vector norm (not sqrt of a
+        # cancellation-prone matrix entry).
+        d_masked = jnp.where(mask[..., None] > 0, d, big)
+        chunk_min = jnp.min(d_masked, axis=1)  # (N, V)
+        chunk_arg = jnp.argmin(d_masked, axis=1)  # (N, V)
+        chunk_xy = jnp.take_along_axis(pts, chunk_arg[..., None], axis=1)
+        take_new = chunk_min < best_sq
+        best_xy = jnp.where(take_new[..., None], chunk_xy, best_xy)
+        best_sq = jnp.where(take_new, chunk_min, best_sq)
+        return (best_sq, best_xy, l1_acc), None
+
+    init = (
+        jnp.full((n, v), big),
+        jnp.zeros((n, v, 2), gt_points.dtype),
+        jnp.zeros((n,), gt_points.dtype),
+    )
+    (best_sq, best_xy, l1_acc), _ = jax.lax.scan(
+        scan_body, init, (gt_points_c, gt_mask_c)
+    )
+
+    has_gt = jnp.sum(gt_mask, axis=-1) > 0  # guard empty silhouettes
+    l2 = jnp.linalg.norm(pred_points - best_xy, axis=-1)  # (N, V)
+    l2_sum = jnp.where(has_gt, jnp.sum(l2, axis=-1), 0.0)
+    l1_sum = jnp.where(has_gt, l1_acc, 0.0)
+    return l2_sum + l1_sum
+
+
+def mesh_reprojection_loss(
+    gt_points: jax.Array,
+    gt_mask: jax.Array,
+    pred_points: jax.Array,
+    scale_mode: str = "reference",
+    chunk_size: int = 1024,
+) -> jax.Array:
+    """Silhouette mesh-reprojection loss summed over the batch.
+
+    ``scale_mode='reference'`` reproduces the reference's per-image scale
+    1/(3 + V): the denominator uses silhouette_gt.shape[1] (=3, the
+    coordinate dim — SURVEY.md §8 quirk 9) plus the vertex count
+    (src/ops.py:129-130). ``scale_mode='count'`` divides by the true
+    (pixels + vertices) count per image.
+
+    Returns a scalar (sum over batch, as ref src/ops.py:117-137).
+    """
+    per_image = chamfer_loss(gt_points, gt_mask, pred_points, chunk_size)
+    v = pred_points.shape[1]
+    if scale_mode == "reference":
+        denom = jnp.asarray(3.0 + v, per_image.dtype)
+    elif scale_mode == "count":
+        denom = jnp.sum(gt_mask, axis=-1) + v
+    else:
+        raise ValueError(f"unknown scale_mode: {scale_mode!r}")
+    return jnp.sum(per_image / denom)
+
+
+def gradient_penalty(
+    grads: Sequence[jax.Array], mode: str = "reference"
+) -> jax.Array:
+    """WGAN-GP penalty over the critic's input gradients.
+
+    ``mode='reference'`` penalizes ||mean-over-batch(grad)|| per input and
+    sums the four penalties (ref src/ops.py:153-163 — NOT the per-sample
+    norm of the WGAN-GP paper; SURVEY.md §8 quirk 7).
+    ``mode='per_sample'`` implements the paper: the per-sample norm over
+    all inputs jointly, squared deviation from 1, averaged over batch.
+    """
+    if mode == "reference":
+        total = jnp.asarray(0.0, grads[0].dtype)
+        for g in grads:
+            mean_g = jnp.mean(g, axis=0)
+            total = total + jnp.square(1.0 - jnp.linalg.norm(mean_g.reshape(-1)))
+        return total
+    elif mode == "per_sample":
+        n = grads[0].shape[0]
+        sq = jnp.zeros((n,), grads[0].dtype)
+        for g in grads:
+            sq = sq + jnp.sum(jnp.square(g.reshape(n, -1)), axis=-1)
+        norms = jnp.sqrt(sq + 1e-12)
+        return jnp.mean(jnp.square(1.0 - norms))
+    raise ValueError(f"unknown mode: {mode!r}")

@@ -1,0 +1,69 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+This is the TPU-native analogue of testing multi-node code without a
+cluster (SURVEY.md §4): all sharding/pjit tests run against 8 virtual CPU
+devices.
+
+Note: some environments inject a TPU PJRT plugin via sitecustomize before
+pytest starts (so JAX may already be imported); we therefore switch the
+platform with ``jax.config.update`` *after* import and add the host-device
+XLA flag before the first backend initialization.
+"""
+import os
+
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import sys
+
+import numpy as np
+import pytest
+
+assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8, (
+    "tests require the 8-device virtual CPU mesh; got %s" % jax.devices()
+)
+
+REFERENCE_PATH = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def tiny_model():
+    """Small synthetic SMPL asset (fast tests)."""
+    from human_pose_estimation_tpu.utils.assets import synthetic_model
+
+    return synthetic_model(num_verts=120, seed=0)
+
+
+@pytest.fixture(scope="session")
+def full_model():
+    """Full-size (6890-vertex) synthetic SMPL asset."""
+    from human_pose_estimation_tpu.utils.assets import synthetic_model
+
+    return synthetic_model(num_verts=6890, seed=0)
+
+
+def has_reference():
+    return os.path.isdir(REFERENCE_PATH)
+
+
+@pytest.fixture(scope="session")
+def reference_src():
+    """Importable handle to the TF2 reference (parity oracle only)."""
+    if not has_reference():
+        pytest.skip("reference repo not available")
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    return REFERENCE_PATH
+
+
+@pytest.fixture()
+def rng():
+    return np.random.RandomState(42)

@@ -1,0 +1,56 @@
+"""Device mesh + sharding layout for data-parallel training.
+
+The reference is strictly single-device (SURVEY.md §2: no tf.distribute,
+no collectives anywhere). The TPU-native framework makes data parallelism
+first-class: a 1-D ``data`` mesh over all chips, batch arrays sharded on
+axis 0, parameters/optimizer state replicated. Under ``jit`` with these
+shardings, XLA compiles the gradient reductions to all-reduces over ICI —
+no hand-written communication layer (the "communication backend" IS this
+file plus the sharding annotations).
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh``;
+the same code then spans slices, with DCN crossings handled by the
+runtime.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None, axis: str = DATA_AXIS
+) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    """Shard dim 0 (batch) over the data axis; trailing dims replicated."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
+    """Place every array in a batch pytree with dim-0 sharded."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda a: jax.device_put(a, sh), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Fully replicate a pytree (params / train state) over the mesh."""
+    sh = replicated(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+
+
+def pad_to_multiple(n: int, k: int) -> int:
+    return ((n + k - 1) // k) * k

@@ -1,0 +1,73 @@
+"""Training state: parameters, optimizer states, BN statistics, step.
+
+Replaces the reference's object soup (two Keras optimizers + three model
+objects + a tf.train.Checkpoint, ref src/trainer.py:183-198) with a single
+pytree that jit/pjit can thread, donate, shard, and checkpoint atomically.
+
+Note (SURVEY.md §8 quirk 5): the reference keeps TWO mean-theta variables
+and checkpoints the untrained one; here the *trained* mean theta is a
+first-class member of the generator params and is checkpointed.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+# Keras Adam's default epsilon is 1e-7 (the reference uses default-config
+# Adam, ref src/trainer.py:183-184); optax's default is 1e-8.
+ADAM_EPS = 1e-7
+
+
+def make_optimizers(generator_lr: float, critic_lr: float):
+    gen_tx = optax.adam(generator_lr, eps=ADAM_EPS)
+    critic_tx = optax.adam(critic_lr, eps=ADAM_EPS)
+    return gen_tx, critic_tx
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array  # scalar int32
+    gen_params: Any  # {'encoder', 'regressor', 'mean_theta' (1, 85)}
+    batch_stats: Any  # {'encoder': ...}
+    gen_opt: Any
+    critic_params: Any
+    critic_opt: Any
+
+
+def create_train_state(
+    rng: jax.Array,
+    hmr,
+    critic_def,
+    mean_theta,
+    generator_lr: float,
+    critic_lr: float,
+    img_size: int = 224,
+) -> TrainState:
+    """Initialize all parameters and optimizer states."""
+    hmr_rng, critic_rng = jax.random.split(rng)
+    variables = hmr.init(hmr_rng, img_size=img_size)
+    gen_params = dict(variables["params"])
+    gen_params["mean_theta"] = jnp.asarray(mean_theta, jnp.float32)
+    gen_params = FrozenDict(gen_params)
+
+    critic_vars = critic_def.init(
+        critic_rng,
+        jnp.zeros((1, 13, 13)),
+        jnp.zeros((1, 14, 3)),
+        jnp.zeros((1, 10)),
+        jnp.zeros((1, 23, 3, 3)),
+    )
+    gen_tx, critic_tx = make_optimizers(generator_lr, critic_lr)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        gen_params=gen_params,
+        batch_stats=variables["batch_stats"],
+        gen_opt=gen_tx.init(gen_params),
+        critic_params=critic_vars["params"],
+        critic_opt=critic_tx.init(critic_vars["params"]),
+    )

@@ -1,0 +1,182 @@
+"""Integration tests: fused train step (generator + critic + GP) on a tiny
+model, data-parallel over the 8-device virtual CPU mesh, plus an
+overfit-decreases-loss smoke test (SURVEY.md §4: the reference's
+tiny-dataset overfit configs become real tests)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from human_pose_estimation_tpu.config import Config
+from human_pose_estimation_tpu.models.critic import Critic
+from human_pose_estimation_tpu.models.hmr import HMR
+from human_pose_estimation_tpu.parallel import mesh as pmesh
+from human_pose_estimation_tpu.train.state import create_train_state
+from human_pose_estimation_tpu.train.step import (
+    GenBatch,
+    MocapBatch,
+    make_train_step,
+    make_val_step,
+)
+from human_pose_estimation_tpu.utils.assets import synthetic_mean_params
+
+
+IMG = 56
+BATCH = 8
+NSIL = 32
+
+
+@pytest.fixture(scope="module")
+def setup(request):
+    from human_pose_estimation_tpu.utils.assets import synthetic_model
+
+    smpl = synthetic_model(num_verts=120, seed=0)
+    cfg = Config(
+        img_size=IMG,
+        batch_size=BATCH,
+        use_mesh_repro_loss=True,
+        use_kpr_loss=True,
+        encoder_only=False,
+        use_gradient_penalty=True,
+        encoder_dtype="float32",
+    )
+    hmr = HMR(smpl, num_stage=3, joint_type="lsp", encoder_stage_sizes=(1, 1, 1, 1))
+    critic = Critic()
+    state = create_train_state(
+        jax.random.PRNGKey(0),
+        hmr,
+        critic,
+        synthetic_mean_params()[None, :],
+        cfg.generator_lr,
+        cfg.critic_lr,
+        img_size=IMG,
+    )
+    return smpl, cfg, hmr, critic, state
+
+
+def _batches(rng, n=BATCH):
+    images = rng.rand(n, IMG, IMG, 3).astype(np.float32) * 2 - 1
+    seg_points = (rng.rand(n, NSIL, 2) * IMG).astype(np.float32)
+    seg_mask = (rng.rand(n, NSIL) > 0.25).astype(np.float32)
+    kp2d = rng.rand(n, 14, 3).astype(np.float32) * 2 - 1
+    kp2d[..., 2] = (rng.rand(n, 14) > 0.2).astype(np.float32)
+    gen = GenBatch(
+        images=jnp.asarray(images),
+        seg_points=jnp.asarray(seg_points),
+        seg_mask=jnp.asarray(seg_mask),
+        kp2d=jnp.asarray(kp2d),
+    )
+    m = n * 3
+    mocap = MocapBatch(
+        joints=jnp.asarray(rng.randn(m, 14, 3).astype(np.float32)),
+        shapes=jnp.asarray(rng.randn(m, 10).astype(np.float32) * 0.3),
+        rotations=jnp.asarray(
+            np.tile(np.eye(3, dtype=np.float32), (m, 23, 1, 1))
+        ),
+    )
+    return gen, mocap
+
+
+def test_train_step_runs_and_updates(setup, rng):
+    smpl, cfg, hmr, critic, state = setup
+    step_fn = jax.jit(make_train_step(hmr, critic, cfg))
+    gen, mocap = _batches(rng)
+    new_state, metrics = step_fn(state, gen, mocap, jax.random.PRNGKey(1))
+
+    assert int(new_state.step) == 1
+    for name in (
+        "kpr_losses",
+        "mr_losses",
+        "gen_critic_losses",
+        "generator_loss",
+        "critic_loss",
+        "critic_penalty",
+        "bone_length_pred",
+        "bone_length_gt",
+    ):
+        v = np.asarray(getattr(metrics, name))
+        assert np.isfinite(v).all(), name
+    assert metrics.kpr_losses.shape == (3,)
+
+    # Params actually moved (encoder, regressor, mean theta, critic).
+    def moved(a, b):
+        return np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+
+    assert moved(
+        state.gen_params["mean_theta"], new_state.gen_params["mean_theta"]
+    )
+    old_leaf = jax.tree.leaves(state.gen_params["regressor"])[0]
+    new_leaf = jax.tree.leaves(new_state.gen_params["regressor"])[0]
+    assert moved(old_leaf, new_leaf)
+    # (a head bias has exactly zero WGAN gradient — it cancels in
+    # mean(fake) - mean(real) — so check a kernel)
+    assert moved(
+        state.critic_params["kcs_dense"]["kernel"],
+        new_state.critic_params["kcs_dense"]["kernel"],
+    )
+    # BN stats updated.
+    assert moved(
+        jax.tree.leaves(state.batch_stats)[0],
+        jax.tree.leaves(new_state.batch_stats)[0],
+    )
+
+
+def test_train_step_data_parallel_matches_single_device(setup, rng):
+    """The same step under a sharded batch must produce (numerically) the
+    same new state as unsharded execution — DP is a layout, not a model
+    change."""
+    smpl, cfg, hmr, critic, state = setup
+    step_fn = make_train_step(hmr, critic, cfg)
+    gen, mocap = _batches(rng)
+    key = jax.random.PRNGKey(7)
+
+    ref_state, ref_metrics = jax.jit(step_fn)(state, gen, mocap, key)
+
+    mesh = pmesh.make_mesh()
+    gen_sharded = pmesh.shard_batch(gen, mesh)
+    mocap_sharded = pmesh.shard_batch(mocap, mesh)
+    state_rep = pmesh.replicate(state, mesh)
+    dp_state, dp_metrics = jax.jit(step_fn)(state_rep, gen_sharded, mocap_sharded, key)
+
+    np.testing.assert_allclose(
+        np.asarray(ref_metrics.generator_loss),
+        np.asarray(dp_metrics.generator_loss),
+        rtol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref_state.gen_params["mean_theta"]),
+        np.asarray(dp_state.gen_params["mean_theta"]),
+        atol=1e-5,
+    )
+
+
+def test_overfit_decreases_loss(setup, rng):
+    """A few steps on one fixed batch must reduce the generator loss
+    (the reference's lsp_16-style overfit smoke, SURVEY.md §4)."""
+    smpl, cfg, hmr, critic, state = setup
+    cfg2 = cfg.replace(use_mesh_repro_loss=False, encoder_only=True,
+                       generator_lr=5e-5)
+    step_fn = jax.jit(make_train_step(hmr, critic, cfg2))
+    gen, _ = _batches(rng)
+    # Target = the model's own initial prediction shifted by a constant:
+    # a smoothly reachable optimum for the IEF head.
+    val_fn = jax.jit(make_val_step(hmr, critic, cfg2))
+    pred0 = np.asarray(val_fn(state, gen)["pred_keypoints"])
+    kp_gt = np.concatenate([pred0 + 0.2, np.ones((BATCH, 14, 1), np.float32)], -1)
+    gen = gen._replace(kp2d=jnp.asarray(kp_gt))
+    losses = []
+    for i in range(20):
+        state, metrics = step_fn(state, gen, None, jax.random.PRNGKey(2))
+        losses.append(float(metrics.kpr_losses[-1]))
+    assert np.mean(losses[-3:]) < 0.8 * np.mean(losses[:3]), losses
+
+
+def test_val_step(setup, rng):
+    smpl, cfg, hmr, critic, state = setup
+    val_fn = jax.jit(make_val_step(hmr, critic, cfg))
+    gen, _ = _batches(rng)
+    out = val_fn(state, gen)
+    assert np.isfinite(np.asarray(out["kpr_losses"])).all()
+    assert out["verts"].shape == (BATCH, 120, 3)
+    assert out["pred_keypoints"].shape == (BATCH, 14, 2)

@@ -1,0 +1,65 @@
+"""Benchmark: fused 224px HMR inference throughput on one chip.
+
+Measures the flagship serving graph — ResNet-50 (bf16) + 3x IEF + full
+6890-vertex SMPL + projection — as one jit-compiled program, steady-state,
+and prints ONE JSON line. Baseline: 5,000 img/s/chip (BASELINE.md rebuild
+target; the reference publishes no throughput numbers).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from human_pose_estimation_tpu.models.hmr import HMR
+    from human_pose_estimation_tpu.utils.assets import (
+        synthetic_mean_params,
+        synthetic_model,
+    )
+
+    batch = int(__import__("os").environ.get("BENCH_BATCH", "256"))
+    smpl = synthetic_model(num_verts=6890, seed=0)
+    hmr = HMR(smpl, num_stage=3, joint_type="lsp", encoder_dtype=jnp.bfloat16)
+    variables = hmr.init(jax.random.PRNGKey(0), img_size=224)
+    mean_theta = jnp.asarray(synthetic_mean_params()[None, :])
+
+    @jax.jit
+    def forward(images):
+        stages, _ = hmr(variables, images, mean_theta, train=False, smpl_stages="last")
+        last = stages[-1]
+        return last.verts, last.cam, last.joints3d
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(batch, 224, 224, 3).astype(np.float32) * 2 - 1)
+
+    # Warmup / compile.
+    jax.block_until_ready(forward(images))
+    jax.block_until_ready(forward(images))
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(images)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    img_per_sec = batch * iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "img/sec/chip 224px HMR inference",
+                "value": round(img_per_sec, 1),
+                "unit": "img/s",
+                "vs_baseline": round(img_per_sec / 5000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,218 @@
+"""On-device, batched image preprocessing / augmentation.
+
+Capability parity with the reference's per-example CPU pipeline
+(ref src/data_loader.py:160-213 image_preprocessing + src/util/
+data_utils.py:144-238 jitter_center / jitter_scale / pad_image_edge /
+random_flip / flip_image), redesigned for TPU:
+
+The reference materializes a scale-jittered resize of the whole image,
+edge-pads it by margin+trans_max+50, crops 224x224, and maybe flips — all
+per example on the host. Here the entire chain collapses into ONE
+separable bilinear resampling expressed as two dense matmuls per axis
+(``W_y @ img @ W_x^T``): scale jitter, crop offset, edge-replicate
+padding (coordinate clamping) and horizontal flip all fold into the
+sampling weight matrices. Matmuls run on the MXU; there is no resized or
+padded intermediate, no gather, and the whole batch augments as one
+jit-compiled program.
+
+Geometry notes (to match the reference's output exactly):
+* resized size is ``floor(h * s)`` per axis and the keypoint factor is
+  ``floor(h * s) / h`` (ref jitter_scale, data_utils.py:150-172);
+* the 224-crop starts at ``scaled_center - 112`` in resized coords
+  (pad + crop in the reference, data_loader.py:174-196);
+* out-of-bounds reads edge-replicate (ref pad_image_edge) == clamping the
+  resized integer coordinate before mapping back to source coords;
+* bilinear sampling uses half-pixel centers like ``tf.image.resize``;
+* flip remaps x to ``size - x - 1`` and swaps the L/R joints with the
+  19-joint cocoplus table (ref flip_image, data_utils.py:221-238).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# L/R joint swap for horizontal flips, cocoplus 19-keypoint order
+# (ref data_utils.py:234-236).
+FLIP_SWAP_19 = (5, 4, 3, 2, 1, 0, 11, 10, 9, 8, 7, 6, 12, 13, 14, 16, 15, 18, 17)
+
+
+class AugmentConfig(NamedTuple):
+    out_size: int = 224
+    trans_max: int = 20
+    scale_min: float = 0.8
+    scale_max: float = 1.23
+    augment: bool = True  # False -> deterministic center crop at scale 1
+
+
+def _axis_weights(
+    in_size: jax.Array,  # scalar int32: true extent within the canvas
+    canvas: int,
+    out_size: int,
+    scale: jax.Array,  # scalar float32
+    start: jax.Array,  # scalar int32 crop start in resized coords
+    flip: jax.Array,  # scalar bool
+) -> jax.Array:
+    """(out_size, canvas) bilinear sampling matrix for one axis."""
+    f_in = in_size.astype(jnp.float32)
+    new_size = jnp.floor(f_in * scale)  # int cast in the reference
+    factor = new_size / f_in
+    o = jax.lax.broadcasted_iota(jnp.int32, (out_size, 1), 0)[:, 0]
+    o = jnp.where(flip, out_size - 1 - o, o)
+    # integer coordinate in the resized image, edge-clamped (== edge pad)
+    r = jnp.clip(start + o, 0, jnp.maximum(new_size.astype(jnp.int32) - 1, 0))
+    # half-pixel-center source coordinate, clamped to the valid extent
+    s = (r.astype(jnp.float32) + 0.5) / factor - 0.5
+    s = jnp.clip(s, 0.0, f_in - 1.0)
+    i0 = jnp.floor(s).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, in_size - 1)
+    frac = s - i0.astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (out_size, canvas), 1)
+    w = jnp.where(cols == i0[:, None], 1.0 - frac[:, None], 0.0)
+    w = w + jnp.where(cols == i1[:, None], frac[:, None], 0.0)
+    # i0 == i1 (edge): both terms hit the same column summing to 1.
+    return w
+
+
+def _resample_one(img, wy, wx):
+    """(H_out, W_out, C) = wy @ img @ wx^T via MXU matmuls."""
+    tmp = jnp.einsum("oh,hwc->owc", wy, img, preferred_element_type=jnp.float32)
+    return jnp.einsum("pw,owc->opc", wx, tmp, preferred_element_type=jnp.float32)
+
+
+def augment_batch(
+    images: jax.Array,  # (N, Hc, Wc, 3) uint8 or float in [0, 1]
+    segs: jax.Array,  # (N, Hc, Wc, 1) same scale
+    hw: jax.Array,  # (N, 2) int32 true [h, w] inside the canvas
+    centers: jax.Array,  # (N, 2) int32 [cx, cy] person center
+    keypoints: jax.Array,  # (N, 3, 19) rows [x, y, vis] (ref label layout)
+    rng: Optional[jax.Array],
+    cfg: AugmentConfig,
+    overrides: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched preprocess: returns (crop [-1,1] (N,S,S,3), seg crop
+    (N,S,S,1), labels (N,19,3) with kp normalized to [-1,1]).
+
+    ``overrides=(trans (N,2) int, scales (N,), flips (N,) bool)`` pins the
+    augmentation draws (tests / reproducibility)."""
+    n, canvas_h, canvas_w, _ = images.shape
+    out = cfg.out_size
+    margin = out // 2
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
+    if segs.dtype == jnp.uint8:
+        segs = segs.astype(jnp.float32) / 255.0
+
+    if overrides is not None:
+        trans, scales, flips = overrides
+    elif cfg.augment:
+        assert rng is not None
+        r_trans, r_scale, r_flip = jax.random.split(rng, 3)
+        # tf.random.uniform int is [min, max) (ref jitter_center).
+        if cfg.trans_max > 0:
+            trans = jax.random.randint(
+                r_trans, (n, 2), -cfg.trans_max, cfg.trans_max
+            )
+        else:
+            trans = jnp.zeros((n, 2), jnp.int32)
+        scales = jax.random.uniform(
+            r_scale, (n,), minval=cfg.scale_min, maxval=cfg.scale_max
+        )
+        flips = jax.random.uniform(r_flip, (n,)) < 0.5
+    else:
+        trans = jnp.zeros((n, 2), jnp.int32)
+        scales = jnp.ones((n,))
+        flips = jnp.zeros((n,), bool)
+
+    center_j = centers + trans  # jittered center, original coords
+    h = hw[:, 0]
+    w = hw[:, 1]
+
+    def scaled_center(c, extent, scale):
+        # int(center * floor(extent*s)/extent) (ref jitter_scale :168-172)
+        factor = jnp.floor(extent.astype(jnp.float32) * scale) / extent.astype(
+            jnp.float32
+        )
+        return (c.astype(jnp.float32) * factor).astype(jnp.int32)
+
+    cx = scaled_center(center_j[:, 0], w, scales)
+    cy = scaled_center(center_j[:, 1], h, scales)
+    start_x = cx - margin
+    start_y = cy - margin
+
+    def per_example(img, seg, h_i, w_i, sc, sy, sx, flip):
+        wy = _axis_weights(h_i, canvas_h, out, sc, sy, jnp.asarray(False))
+        wx = _axis_weights(w_i, canvas_w, out, sc, sx, flip)
+        crop = _resample_one(img, wy, wx)
+        crop_seg = _resample_one(seg, wy, wx)
+        return crop, crop_seg
+
+    crops, crop_segs = jax.vmap(per_example)(
+        images, segs, h, w, scales, start_y, start_x, flips
+    )
+
+    # ---- keypoint transform (mirrors the crop math) ----------------------
+    kp_xy = keypoints[:, :2, :]  # (N, 2, 19)
+    vis = keypoints[:, 2, :]  # (N, 19)
+    fx = jnp.floor(w.astype(jnp.float32) * scales) / w.astype(jnp.float32)
+    fy = jnp.floor(h.astype(jnp.float32) * scales) / h.astype(jnp.float32)
+    x = kp_xy[:, 0, :] * fx[:, None] - start_x[:, None].astype(jnp.float32)
+    y = kp_xy[:, 1, :] * fy[:, None] - start_y[:, None].astype(jnp.float32)
+
+    swap = jnp.asarray(FLIP_SWAP_19)
+    x_f = jnp.asarray(out, jnp.float32) - x - 1.0
+    x = jnp.where(flips[:, None], x_f[:, swap], x)
+    y = jnp.where(flips[:, None], y[:, swap], y)
+    vis = jnp.where(flips[:, None], vis[:, swap], vis)
+
+    # normalize to [-1, 1], zeroing hidden keypoints (ref :200-207)
+    vis = (vis > 0).astype(jnp.float32)
+    label = jnp.stack(
+        [
+            (2.0 * (x / out) - 1.0) * vis,
+            (2.0 * (y / out) - 1.0) * vis,
+            vis,
+        ],
+        axis=-1,
+    )  # (N, 19, 3)
+
+    crops = crops * 2.0 - 1.0  # [0,1] -> [-1,1] (ref rescale_image)
+    return crops, crop_segs, label
+
+
+def extract_silhouette(
+    segs: jax.Array, max_points: int, threshold: float = 0.0
+) -> Tuple[jax.Array, jax.Array]:
+    """Padded silhouette pixel sets from seg crops, XLA-static.
+
+    Replaces the reference's ragged ``tf.where(seg > 0)``
+    (ref src/trainer.py:443) with a fixed-size (max_points, 2) [x, y]
+    list + validity mask per image. Rows are visited in an interleaved
+    order so that truncation (when a silhouette has more than
+    ``max_points`` pixels) samples the whole figure instead of its top.
+    """
+    n, h, w = segs.shape[:3]
+    m = segs.reshape(n, h * w) > threshold
+    # Visit pixels in a strided permutation of the flattened index space
+    # (stride coprime with h*w), so truncation at the cap samples the whole
+    # silhouette instead of its top rows.
+    total = h * w
+    stride = 9973 if total % 9973 else 101  # primes; coprime for our sizes
+    perm = np.asarray((np.arange(total, dtype=np.int64) * stride) % total, np.int32)
+    m_perm = m[:, perm]
+
+    def one(mask1d):
+        (idx_p,) = jnp.nonzero(mask1d, size=max_points, fill_value=0)
+        count = jnp.sum(mask1d)
+        valid = (
+            jax.lax.broadcasted_iota(jnp.int32, (max_points, 1), 0)[:, 0] < count
+        )
+        flat = jnp.asarray(perm)[idx_p]
+        ys = flat // w
+        xs = flat % w
+        pts = jnp.stack([xs, ys], axis=-1).astype(jnp.float32)
+        return pts, valid.astype(jnp.float32)
+
+    return jax.vmap(one)(m_perm)

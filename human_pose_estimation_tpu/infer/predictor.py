@@ -1,0 +1,103 @@
+"""Inference: batched, jit-compiled HMR prediction.
+
+Capability parity with ref src/predictor.py:26-163 (Predictor.predict /
+predict_single_image), redesigned as one fused XLA program: encoder ->
+3x IEF -> SMPL -> outputs with no Python between stages, padding partial
+batches to a fixed compile shape. This graph is the 5k img/s/chip target
+of BASELINE.json.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..core.smpl import load_model
+from ..models.critic import Critic
+from ..models.hmr import HMR
+from ..utils import mean_params
+
+
+class Predictor:
+    """Restores a checkpoint and serves (verts, cams, joints) for images.
+
+    Unlike the reference — which rebuilds optimizers purely to satisfy the
+    checkpoint's object graph (ref src/predictor.py:68-86) — the Orbax
+    checkpoint stores a plain pytree, so inference restores only what it
+    needs.
+    """
+
+    def __init__(
+        self,
+        config: Config,
+        smpl=None,
+        variables=None,
+        mean_theta=None,
+        batch_size: Optional[int] = None,
+    ):
+        self.config = config
+        self.batch_size = batch_size or config.batch_size
+        self.smpl = smpl if smpl is not None else load_model(config.smpl_model_path)
+        dtype = jnp.bfloat16 if config.encoder_dtype == "bfloat16" else jnp.float32
+        self.hmr = HMR(
+            self.smpl,
+            num_stage=config.num_stage,
+            joint_type=config.joint_type,
+            encoder_dtype=dtype,
+        )
+        if variables is None or mean_theta is None:
+            from ..utils.checkpoint import restore_for_inference
+
+            variables, mean_theta = restore_for_inference(
+                config.checkpoint_dir, self.hmr, config
+            )
+        self.variables = variables
+        self.mean_theta = jnp.asarray(mean_theta, jnp.float32)
+        self._predict = jax.jit(self._predict_impl)
+
+    def _predict_impl(self, images: jax.Array) -> Dict[str, jax.Array]:
+        stages, _ = self.hmr(
+            self.variables,
+            images,
+            self.mean_theta,
+            train=False,
+            smpl_stages="last",
+        )
+        last = stages[-1]
+        return {
+            "generated_verts": last.verts,
+            "generated_cams": last.cam,
+            "generated_joints": last.joints3d,
+            "theta": last.theta,
+            "kp2d": last.kp2d,
+        }
+
+    def predict(self, images) -> Dict[str, np.ndarray]:
+        """Predict on a (N, H, W, 3) [-1, 1] image batch.
+
+        Pads N up to the compiled batch size so every call hits the same
+        executable (no recompiles in a serving loop).
+        """
+        images = np.asarray(images, np.float32)
+        n = images.shape[0]
+        b = max(self.batch_size, n)
+        if images.shape[0] < b:
+            images = np.concatenate(
+                [images, np.zeros((b - n, *images.shape[1:]), np.float32)], axis=0
+            )
+        out = self._predict(jnp.asarray(images))
+        return {k: np.asarray(v)[:n] for k, v in out.items()}
+
+    def predict_single_image(self, image) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(verts, cams, joints) for one (H, W, 3) image
+        (ref src/predictor.py:160-163)."""
+        res = self.predict(np.asarray(image)[None])
+        return (
+            res["generated_verts"],
+            res["generated_cams"],
+            res["generated_joints"],
+        )

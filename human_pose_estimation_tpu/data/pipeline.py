@@ -1,0 +1,229 @@
+"""Input pipelines: host-side record IO feeding device-side preprocessing.
+
+Capability parity with ref src/data_loader.py (DataLoader.load /
+load_val_dataset / get_smpl_loader) with the TPU-native split of
+SURVEY.md §2/§7:
+
+* host (tf.data, C++ runtime): record read -> shuffle (on serialized
+  bytes, before decode) -> repeat -> JPEG/PNG decode -> fit into a fixed
+  uint8 canvas -> batch;
+* device (one jit program): scale/translation jitter, crop, flip,
+  normalization, silhouette extraction (data/augment.py), producing the
+  GenBatch consumed by the train step.
+
+The mocap prior stream replaces the reference's per-sample map-time SMPL
+forward (ref src/data_loader.py:139-143) with one *batched* SMPL forward
+per step on device.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Iterator, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..core.smpl import SMPLModel, smpl_forward
+from ..train.step import GenBatch, MocapBatch
+from .augment import AugmentConfig, augment_batch, extract_silhouette
+from . import tfrecords
+
+
+def _tf():
+    import tensorflow as tf
+
+    tf.config.set_visible_devices([], "GPU")
+    return tf
+
+
+class DevicePreprocessor:
+    """The jit-compiled device half of the input pipeline."""
+
+    def __init__(self, cfg: Config, augment: bool = True):
+        self.aug_cfg = AugmentConfig(
+            out_size=cfg.img_size,
+            trans_max=cfg.trans_max,
+            scale_min=cfg.scale_min,
+            scale_max=cfg.scale_max,
+            augment=augment,
+        )
+        self.max_sil = cfg.max_silhouette_points
+        self._fn = jax.jit(self._impl)
+
+    def _impl(self, images, segs, hw, centers, labels, rng):
+        crops, crop_segs, label = augment_batch(
+            images, segs, hw, centers, labels, rng, self.aug_cfg
+        )
+        pts, mask = extract_silhouette(crop_segs, self.max_sil)
+        return GenBatch(images=crops, seg_points=pts, seg_mask=mask, kp2d=label)
+
+    def __call__(self, host_batch, rng) -> GenBatch:
+        return self._fn(
+            jnp.asarray(host_batch["image"]),
+            jnp.asarray(host_batch["seg"]),
+            jnp.asarray(host_batch["hw"]),
+            jnp.asarray(host_batch["center"]),
+            jnp.asarray(host_batch["label"]),
+            rng,
+        )
+
+
+def _fit_to_canvas(tf, parsed, canvas: int):
+    """Scale-to-fit oversized images, then place into a fixed uint8 canvas
+    (top-left); geometry (kp/center) is rescaled identically so the
+    device-side crop math sees an equivalent original."""
+    img = parsed["image"]
+    seg = parsed["seg"]
+    h = parsed["height"]
+    w = parsed["width"]
+    label = parsed["label"]
+    center = parsed["center"]
+
+    longest = tf.maximum(h, w)
+    scale = tf.minimum(1.0, tf.cast(canvas, tf.float32) / tf.cast(longest, tf.float32))
+    new_h = tf.cast(tf.math.floor(tf.cast(h, tf.float32) * scale), tf.int32)
+    new_w = tf.cast(tf.math.floor(tf.cast(w, tf.float32) * scale), tf.int32)
+    img = tf.image.resize(img, (new_h, new_w), method="bilinear")
+    seg = tf.image.resize(seg, (new_h, new_w), method="bilinear")
+    fy = tf.cast(new_h, tf.float32) / tf.cast(h, tf.float32)
+    fx = tf.cast(new_w, tf.float32) / tf.cast(w, tf.float32)
+    xy = tf.stack([label[0] * fx, label[1] * fy, label[2]], axis=0)
+    center = tf.cast(
+        tf.stack(
+            [
+                tf.cast(center[0], tf.float32) * fx,
+                tf.cast(center[1], tf.float32) * fy,
+            ]
+        ),
+        tf.int32,
+    )
+    img = tf.image.pad_to_bounding_box(
+        tf.cast(tf.round(img), tf.uint8), 0, 0, canvas, canvas
+    )
+    seg = tf.image.pad_to_bounding_box(
+        tf.cast(tf.round(seg), tf.uint8), 0, 0, canvas, canvas
+    )
+    return {
+        "image": img,
+        "seg": seg,
+        "hw": tf.stack([new_h, new_w]),
+        "center": center,
+        "label": xy,
+    }
+
+
+class ImagePipeline:
+    """Image/seg/keypoint stream -> GenBatch iterator.
+
+    mode='train': shuffle(10000) + repeat + augmentation (ref
+    src/trainer.py:154-159). mode='val': optional shuffle/repeat, and the
+    reference applies the same random augmentation to validation data
+    (ref read_data is shared, src/data_loader.py:87-93) — we keep that
+    behavior by default but expose augment=False for deterministic eval.
+    """
+
+    def __init__(
+        self,
+        cfg: Config,
+        datasets: Optional[Sequence[str]] = None,
+        files: Optional[Sequence[str]] = None,
+        mode: str = "train",
+        augment: Optional[bool] = None,
+        canvas: int = 256,
+        shuffle: Optional[bool] = None,
+        repeat: Optional[bool] = None,
+        seed: Optional[int] = None,
+    ):
+        tf = _tf()
+        self.cfg = cfg
+        self.canvas = canvas
+        self.batch_size = cfg.batch_size
+        if files is None:
+            files = tfrecords.record_files(
+                cfg.data_dir, datasets if datasets is not None else cfg.datasets
+            )
+        self.files = list(files)
+        augment = (mode == "train") if augment is None else augment
+        shuffle = (mode == "train") if shuffle is None else shuffle
+        repeat = (mode == "train") if repeat is None else repeat
+        self.prep = DevicePreprocessor(cfg, augment=augment)
+        self.rng = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+
+        ds = tf.data.TFRecordDataset(self.files)
+        if shuffle:
+            ds = ds.shuffle(10000, seed=cfg.seed)
+        if repeat:
+            ds = ds.repeat()
+        ds = ds.map(
+            lambda s: _fit_to_canvas(tf, tfrecords.parse_image_example(s), canvas),
+            num_parallel_calls=tf.data.AUTOTUNE,
+        )
+        ds = ds.batch(self.batch_size, drop_remainder=repeat)
+        self.ds = ds.prefetch(tf.data.AUTOTUNE)
+
+    def __iter__(self):
+        """Yields (GenBatch, n_valid): n_valid < batch_size only on the
+        terminal partial batch of a non-repeating (eval) pipeline — the
+        tail is zero-padded to keep one compiled shape."""
+        step = 0
+        for host_batch in self.ds.as_numpy_iterator():
+            n = host_batch["image"].shape[0]
+            if n < self.batch_size:
+                pad = self.batch_size - n
+
+                def padded(a):
+                    return np.concatenate(
+                        [a, np.zeros((pad, *a.shape[1:]), a.dtype)], axis=0
+                    )
+
+                host_batch = {k: padded(v) for k, v in host_batch.items()}
+            rng = jax.random.fold_in(self.rng, step)
+            yield self.prep(host_batch, rng), n
+            step += 1
+
+
+class MocapPipeline:
+    """Mocap (pose, shape) stream -> MocapBatch via one batched on-device
+    SMPL forward (replacing ref preprocess_poses, src/data_loader.py:139-143).
+
+    Batch size is batch_size * num_stage to pair real samples 1:1 with the
+    concatenated 3-stage fakes (ref src/trainer.py:163)."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        smpl: SMPLModel,
+        files: Optional[Sequence[str]] = None,
+        shuffle: bool = True,
+    ):
+        tf = _tf()
+        self.batch = cfg.batch_size * cfg.num_stage
+        if files is None:
+            files = tfrecords.mocap_record_files(cfg.data_dir, cfg.mocap_datasets)
+        if not files:
+            raise FileNotFoundError(
+                f"no mocap tfrecords for {cfg.mocap_datasets} under {cfg.data_dir}"
+            )
+        ds = tf.data.TFRecordDataset(list(files))
+        if shuffle:
+            ds = ds.shuffle(10000, seed=cfg.seed)
+        ds = ds.repeat().map(
+            tfrecords.parse_mocap_example_tf, num_parallel_calls=tf.data.AUTOTUNE
+        )
+        self.ds = ds.batch(self.batch, drop_remainder=True).prefetch(tf.data.AUTOTUNE)
+
+        def to_mocap(pose, shape):
+            out = smpl_forward(smpl, shape, pose, joint_type="cocoplus")
+            return MocapBatch(
+                joints=out.joints,
+                shapes=shape,
+                rotations=out.rotations[:, 1:],
+            )
+
+        self._fwd = jax.jit(to_mocap)
+
+    def __iter__(self) -> Iterator[MocapBatch]:
+        for pose, shape in self.ds.as_numpy_iterator():
+            yield self._fwd(jnp.asarray(pose), jnp.asarray(shape))

@@ -1,0 +1,111 @@
+"""End-to-end data pipeline tests: tfrecord write -> host decode ->
+device augmentation -> GenBatch / MocapBatch."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from human_pose_estimation_tpu.config import Config
+from human_pose_estimation_tpu.data import tfrecords
+from human_pose_estimation_tpu.data.pipeline import ImagePipeline, MocapPipeline
+
+
+@pytest.fixture(scope="module")
+def image_record(tmp_path_factory):
+    tf = pytest.importorskip("tensorflow")
+    tmp = tmp_path_factory.mktemp("data")
+    rng = np.random.RandomState(0)
+    img_dir = tmp / "imgs"
+    seg_dir = tmp / "segs"
+    img_dir.mkdir()
+    seg_dir.mkdir()
+    n = 6
+    joints = np.zeros((3, 14, n), np.float32)
+    pairs = []
+    for i in range(n):
+        h, w = int(rng.randint(40, 120)), int(rng.randint(40, 120))
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        seg = ((rng.rand(h, w, 1) > 0.5) * 255).astype(np.uint8)
+        ip = str(img_dir / f"im{i:04d}.jpg")
+        sp = str(seg_dir / f"im{i:04d}_segmentation.png")
+        tf.io.write_file(ip, tf.io.encode_jpeg(img))
+        tf.io.write_file(sp, tf.io.encode_png(seg))
+        joints[0, :, i] = rng.rand(14) * (w - 1)
+        joints[1, :, i] = rng.rand(14) * (h - 1)
+        joints[2, :, i] = 1.0  # visible flag, already in "visible" polarity
+        pairs.append((ip, sp))
+    out = str(tmp / "lsp_16.tfrecords")
+    count = tfrecords.create_image_tfrecord(out, pairs, joints)
+    assert count == n
+    return str(tmp), out, n
+
+
+def test_image_pipeline_shapes(image_record):
+    data_dir, path, n = image_record
+    cfg = Config(
+        data_dir=data_dir, batch_size=4, img_size=64, max_silhouette_points=256
+    )
+    pipe = ImagePipeline(cfg, files=[path], mode="train", canvas=128)
+    it = iter(pipe)
+    batch, nv = next(it)
+    assert nv == 4
+    assert batch.images.shape == (4, 64, 64, 3)
+    assert batch.seg_points.shape == (4, 256, 2)
+    assert batch.seg_mask.shape == (4, 256)
+    assert batch.kp2d.shape == (4, 19, 3)
+    img = np.asarray(batch.images)
+    assert img.min() >= -1.0 - 1e-6 and img.max() <= 1.0 + 1e-6
+    # repeat: more batches than examples keep coming
+    for _ in range(3):
+        next(it)
+
+
+def test_image_pipeline_eval_partial_batch(image_record):
+    data_dir, path, n = image_record
+    cfg = Config(data_dir=data_dir, batch_size=4, img_size=64)
+    pipe = ImagePipeline(cfg, files=[path], mode="val", augment=False, canvas=128)
+    batches = list(iter(pipe))
+    assert sum(nv for _, nv in batches) == n
+    assert batches[-1][1] == n % 4 or batches[-1][1] == 4
+
+
+def test_image_pipeline_deterministic_eval(image_record):
+    data_dir, path, n = image_record
+    cfg = Config(data_dir=data_dir, batch_size=2, img_size=64)
+    a = [np.asarray(b.images) for b, _ in ImagePipeline(cfg, files=[path], mode="val", augment=False, canvas=128)]
+    b = [np.asarray(b.images) for b, _ in ImagePipeline(cfg, files=[path], mode="val", augment=False, canvas=128)]
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_mocap_pipeline(tmp_path, tiny_model):
+    rng = np.random.RandomState(1)
+    poses = rng.randn(20, 72).astype(np.float32) * 0.2
+    shapes = rng.randn(20, 10).astype(np.float32) * 0.5
+    path = str(tmp_path / "neutrSMPL_CMU_01.tfrecord")
+    assert tfrecords.create_mocap_tfrecord(path, poses, shapes) == 20
+
+    cfg = Config(batch_size=2, num_stage=3)
+    pipe = MocapPipeline(cfg, tiny_model, files=[path], shuffle=False)
+    m = next(iter(pipe))
+    assert m.joints.shape == (6, 19, 3)
+    assert m.shapes.shape == (6, 10)
+    assert m.rotations.shape == (6, 23, 3, 3)
+    # Rotations are orthonormal (came through the real SMPL forward).
+    rtr = np.einsum("nkij,nkljT->", np.asarray(m.rotations), np.asarray(m.rotations)) if False else None
+    r = np.asarray(m.rotations)
+    eye = np.einsum("nkij,nkkj->", r, r) if False else None
+    prod = np.einsum("nkij,nklj->nkil", r, r)
+    np.testing.assert_allclose(
+        prod, np.broadcast_to(np.eye(3), prod.shape), atol=1e-5
+    )
+    # Shapes pass through unchanged, in order (shuffle off).
+    np.testing.assert_allclose(np.asarray(m.shapes), shapes[:6], atol=1e-6)
+
+
+def test_record_files_and_num_examples(tmp_path):
+    assert tfrecords.num_examples(["lsp_train", "lsp_ext"]) == 9642
+    files = tfrecords.record_files(str(tmp_path), ["lsp_train"])
+    assert files == [os.path.join(str(tmp_path), "lsp_train.tfrecords")]

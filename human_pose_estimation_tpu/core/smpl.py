@@ -243,16 +243,20 @@ def smpl_forward(
         rotations, joints_rest, model.parents
     )
 
-    # 5. Linear blend skinning. Blend (R, t) per vertex with the LBS
-    #    weights, then apply once: one (V,K)x(K,9+3) contraction instead of
-    #    per-vertex 4x4 matmuls.
-    r_blend = jnp.einsum(
-        "vk,nkij->nvij", model.lbs_weights, world_r, preferred_element_type=f32
+    # 5. Linear blend skinning. Blend the flattened per-joint (R | t) with
+    #    the LBS weights in ONE (V,K)x(K,12) matmul per sample — the
+    #    blended tensor is (N,V,12) (tens of MB at serving batch sizes);
+    #    blending R and t separately as (N,V,3,3) einsums materializes a
+    #    multi-GB intermediate at batch >= 128 and collapses throughput.
+    #    The final 3-vector contraction fuses elementwise in XLA.
+    a_flat = jnp.concatenate(
+        [world_r.reshape(n, NUM_JOINTS, 9), skin_t], axis=-1
+    )  # (N, K, 12)
+    blended = jnp.einsum(
+        "vk,nkx->nvx", model.lbs_weights, a_flat, preferred_element_type=f32
     )
-    t_blend = jnp.einsum(
-        "vk,nki->nvi", model.lbs_weights, skin_t, preferred_element_type=f32
-    )
-    verts = jnp.einsum("nvij,nvj->nvi", r_blend, v_posed) + t_blend
+    r_blend = blended[..., :9].reshape(n, v, 3, 3)
+    verts = jnp.einsum("nvij,nvj->nvi", r_blend, v_posed) + blended[..., 9:]
 
     # 6. Keypoint regression (cocoplus 19 / LSP 14).
     regressor = model.joint_regressor

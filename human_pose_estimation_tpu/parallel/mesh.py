@@ -24,10 +24,21 @@ DATA_AXIS = "data"
 
 
 def make_mesh(
-    devices: Optional[Sequence[jax.Device]] = None, axis: str = DATA_AXIS
+    devices: Optional[Sequence[jax.Device]] = None,
+    axis: str = DATA_AXIS,
+    batch_size: Optional[int] = None,
 ) -> Mesh:
-    """1-D data-parallel mesh over all (or the given) devices."""
+    """1-D data-parallel mesh over all (or the given) devices.
+
+    When ``batch_size`` is given, the mesh is trimmed to the largest
+    device count that divides it (a batch of 4 on 8 devices uses 4).
+    """
     devices = list(devices) if devices is not None else jax.devices()
+    if batch_size is not None:
+        import math
+
+        n = math.gcd(batch_size, len(devices))
+        devices = devices[:n]
     return Mesh(np.asarray(devices), (axis,))
 
 

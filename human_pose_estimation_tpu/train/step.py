@@ -72,7 +72,11 @@ def _stage_losses(stages, batch: GenBatch, critic_apply, critic_params, c_matrix
     enters the generator objective)."""
     kpr, mr, gcl = [], [], []
     for s in stages:
-        kpr.append(cfg.kpr_loss_weight * L.keypoint_reprojection_loss(batch.kp2d, s.kp2d))
+        # gt labels carry 19 cocoplus points (14 + 5 face); with a 14-joint
+        # LSP head we compare the first 14 — identical loss, since the face
+        # points have zero visibility on LSP data (SURVEY.md §8 quirk 6).
+        kp_gt = batch.kp2d[:, : s.kp2d.shape[1]]
+        kpr.append(cfg.kpr_loss_weight * L.keypoint_reprojection_loss(kp_gt, s.kp2d))
         if cfg.use_mesh_repro_loss:
             sil_pred = reproject_to_pixels(s.verts, s.cam, float(cfg.img_size))
             mr.append(

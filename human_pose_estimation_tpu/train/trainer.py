@@ -1,0 +1,391 @@
+"""Training orchestration: epochs, logging, validation, checkpoints.
+
+Capability parity with ref src/trainer.py Trainer (train loop
+:700-870, validate_checkpoint :882-995, visualization :622-695), around
+the jit-compiled step functions of train/step.py:
+
+* epoch accounting from the dataset-size table (ref :109-111, 819-868)
+  with progress bar + ETA;
+* TensorBoard scalars every step (separate train/val writers), rendered
+  mesh/skeleton/seg overlays every ``log_img_step``;
+* validation every ``validation_step_size`` steps;
+* checkpoint every ``checkpoint_every_epochs`` epochs (Orbax, full train
+  state — fixing the reference's lost step counter / untrained-mean-theta
+  restore, SURVEY.md §8 quirk 5);
+* full-sweep checkpoint validation with mean KPR/MR losses plus PCK@0.5
+  and bone-length stats, and best/worst batch rendering.
+
+Data-parallel: the trainer owns a 1-D ``data`` mesh; batches are sharded
+on arrival, state is replicated, XLA lowers gradient reductions onto ICI.
+"""
+from __future__ import annotations
+
+import datetime
+import os
+import time
+from typing import Dict, Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..core.smpl import load_model
+from ..data import tfrecords
+from ..models.critic import Critic
+from ..models.hmr import HMR
+from ..parallel import mesh as pmesh
+from ..utils import checkpoint as ckpt
+from ..utils.mean_params import load_mean_theta
+from ..utils.summary import SummaryWriter
+from ..ops.metrics import pck
+from .state import TrainState, create_train_state
+from .step import GenBatch, MocapBatch, make_train_step, make_val_step
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: Config,
+        dataset=None,  # iterator of (GenBatch, n) — e.g. data.pipeline.ImagePipeline
+        mocap_dataset=None,  # iterator of MocapBatch
+        val_dataset=None,
+        validation_only: bool = False,
+        smpl=None,
+        use_mesh: bool = True,
+        encoder_stage_sizes=None,  # shallow encoder override (tests/smoke)
+    ):
+        self.config = config
+        self.dataset = dataset
+        self.mocap_dataset = mocap_dataset
+        self.val_dataset = val_dataset
+        self.validation_only = validation_only
+
+        self.smpl = smpl if smpl is not None else load_model(config.smpl_model_path)
+        dtype = jnp.bfloat16 if config.encoder_dtype == "bfloat16" else jnp.float32
+        self.hmr = HMR(
+            self.smpl,
+            num_stage=config.num_stage,
+            joint_type=config.joint_type,
+            encoder_dtype=dtype,
+            encoder_stage_sizes=encoder_stage_sizes,
+        )
+        self.critic = Critic()
+        mean_theta = load_mean_theta(config.mean_params_path)
+        self.state: TrainState = create_train_state(
+            jax.random.PRNGKey(config.seed),
+            self.hmr,
+            self.critic,
+            mean_theta,
+            config.generator_lr,
+            config.critic_lr,
+            img_size=config.img_size,
+        )
+
+        self.mesh = (
+            pmesh.make_mesh(batch_size=config.batch_size) if use_mesh else None
+        )
+        if self.mesh is not None:
+            self.state = pmesh.replicate(self.state, self.mesh)
+        self.train_step = jax.jit(
+            make_train_step(self.hmr, self.critic, config), donate_argnums=(0,)
+        )
+        self.val_step = jax.jit(make_val_step(self.hmr, self.critic, config))
+
+        try:
+            num_images = tfrecords.num_examples(config.datasets)
+        except KeyError:
+            num_images = config.batch_size  # unknown/custom dataset
+        self.num_itr_per_epoch = max(num_images / config.batch_size, 1)
+
+        self.writers: Dict[str, SummaryWriter] = {}
+        if not validation_only and config.model_dir:
+            self.writers["train"] = SummaryWriter(
+                os.path.join(config.model_dir, "training")
+            )
+            self.writers["val"] = SummaryWriter(
+                os.path.join(config.model_dir, "validation")
+            )
+        self._renderer = None
+
+    # ------------------------------------------------------------------
+    def _writer(self, name: str) -> SummaryWriter:
+        if name not in self.writers:
+            self.writers[name] = SummaryWriter(None)
+        return self.writers[name]
+
+    @property
+    def renderer(self):
+        if self._renderer is None:
+            from ..viz.renderer import SMPLRenderer
+
+            faces = self.smpl.faces
+            if faces is None:
+                faces = np.zeros((0, 3), np.int64)
+            self._renderer = SMPLRenderer(
+                img_size=self.config.img_size, faces=faces
+            )
+        return self._renderer
+
+    def _shard(self, batch):
+        if self.mesh is None or batch is None:
+            return batch
+        return pmesh.shard_batch(batch, self.mesh)
+
+    # ------------------------------------------------------------------
+    def restore(self) -> Optional[int]:
+        self.state, step = ckpt.restore_train_state(
+            self.config.checkpoint_dir, self.state
+        )
+        if self.mesh is not None:
+            self.state = pmesh.replicate(self.state, self.mesh)
+        return step
+
+    def save(self) -> None:
+        ckpt.save_train_state(self.config.checkpoint_dir, self.state)
+
+    # ------------------------------------------------------------------
+    def train(self, max_steps: Optional[int] = None) -> Dict[str, List[float]]:
+        """Run the training loop (ref Trainer.train, src/trainer.py:700-870).
+
+        ``max_steps`` bounds total steps (tests / smoke runs); otherwise
+        runs config.epoch epochs by the reference's fractional epoch
+        accounting.
+        """
+        cfg = self.config
+        if cfg.train_from_checkpoint:
+            restored = self.restore()
+            print(f"restored checkpoint at step {restored}")
+
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+        history = {"kpr": [], "mr": [], "gen_critic": [], "critic": []}
+        epoch_acc = {k: [] for k in history}
+        train_writer = self._writer("train")
+        val_writer = self._writer("val")
+        val_iter = iter(self.val_dataset) if self.val_dataset is not None else None
+
+        mocap_iter = iter(self.mocap_dataset) if self.mocap_dataset is not None else None
+        need_mocap = not cfg.encoder_only or cfg.do_bone_evaluation
+
+        itr, epoch = 0, 0
+        t_epoch = time.time()
+        for batch, _n in self.dataset:
+            mocap = next(mocap_iter) if (mocap_iter is not None and need_mocap) else None
+            state, metrics = self.train_step(
+                self.state, self._shard(batch), self._shard(mocap), rng
+            )
+            self.state = state
+            step = int(state.step)
+
+            # -- scalars (ref :747-783) --------------------------------
+            if cfg.use_kpr_loss:
+                v = float(metrics.kpr_losses[-1])
+                train_writer.scalar("generator/kpr_loss", v, step)
+                history["kpr"].append(v)
+                epoch_acc["kpr"].append(v)
+            if cfg.use_mesh_repro_loss:
+                v = float(metrics.mr_losses[-1])
+                train_writer.scalar("generator/mr_loss", v, step)
+                history["mr"].append(v)
+                epoch_acc["mr"].append(v)
+            if cfg.do_bone_evaluation:
+                train_writer.scalar(
+                    "bones/avg_total_bone_length_pred",
+                    float(metrics.bone_length_pred),
+                    step,
+                )
+                train_writer.scalar(
+                    "bones/avg_total_bone_length_gt",
+                    float(metrics.bone_length_gt),
+                    step,
+                )
+            if not cfg.encoder_only:
+                train_writer.scalar(
+                    "critic/critic_network_loss", float(metrics.critic_loss), step
+                )
+                train_writer.scalar(
+                    "critic/generator_critic_loss",
+                    float(metrics.gen_critic_losses[-1]),
+                    step,
+                )
+                train_writer.scalar(
+                    "critic/penalty", float(metrics.critic_penalty), step
+                )
+                history["critic"].append(float(metrics.critic_loss))
+                epoch_acc["critic"].append(float(metrics.critic_loss))
+                history["gen_critic"].append(float(metrics.gen_critic_losses[-1]))
+                epoch_acc["gen_critic"].append(float(metrics.gen_critic_losses[-1]))
+
+            # -- image summaries (ref :762-771) ------------------------
+            if cfg.log_img_step and step % cfg.log_img_step == 0:
+                self._log_images(train_writer, batch, step)
+
+            # -- validation every N steps (ref :791-815) ---------------
+            if (
+                cfg.use_validation
+                and val_iter is not None
+                and step % cfg.validation_step_size == 0
+            ):
+                try:
+                    val_batch, _ = next(val_iter)
+                except StopIteration:
+                    val_iter = iter(self.val_dataset)
+                    val_batch, _ = next(val_iter)
+                vout = self.val_step(self.state, self._shard(val_batch))
+                if cfg.use_kpr_loss:
+                    val_writer.scalar(
+                        "generator/kpr_loss", float(vout["kpr_losses"][-1]), step
+                    )
+                if cfg.use_mesh_repro_loss:
+                    val_writer.scalar(
+                        "generator/mr_loss", float(vout["mr_losses"][-1]), step
+                    )
+                if cfg.log_img_step and step % cfg.log_img_step == 0:
+                    self._log_images(val_writer, val_batch, step, vout)
+
+            itr += 1
+            self._progress(epoch, itr)
+
+            # -- epoch boundary (ref :828-868) -------------------------
+            if itr >= self.num_itr_per_epoch:
+                itr = 0
+                epoch += 1
+                dt = time.time() - t_epoch
+                if epoch % cfg.checkpoint_every_epochs == 0:
+                    self.save()
+                msg = f"Finished epoch {epoch - 1}, average losses:"
+                for key, label in (
+                    ("kpr", "kpr"),
+                    ("mr", "mr"),
+                    ("gen_critic", "gc"),
+                    ("critic", "cn"),
+                ):
+                    if epoch_acc[key]:
+                        msg += f" {label}={np.mean(epoch_acc[key]):.2f}"
+                print(msg)
+                epoch_acc = {k: [] for k in epoch_acc}
+                if epoch >= cfg.epoch:
+                    break
+                eta = datetime.datetime.now() + datetime.timedelta(
+                    seconds=(cfg.epoch - epoch) * dt
+                )
+                print(
+                    f"Starting epoch {epoch} "
+                    f"({dt / 60:.2f} min/epoch, approx done {eta})"
+                )
+                t_epoch = time.time()
+
+            if max_steps is not None and step >= max_steps:
+                break
+
+        for w in self.writers.values():
+            w.flush()
+        return history
+
+    def _progress(self, epoch: int, itr: int) -> None:
+        length = 30
+        stride = max(int(self.num_itr_per_epoch / length), 1)
+        if itr % stride == 0 or itr == 1:
+            frac = min(itr / self.num_itr_per_epoch, 1.0)
+            filled = int(length * frac)
+            bar = "#" * filled + "-" * (length - filled)
+            print(f"\rEpoch {epoch}: |{bar}| {100 * frac:.1f}%", end="", flush=True)
+        if itr >= self.num_itr_per_epoch:
+            print()
+
+    # ------------------------------------------------------------------
+    def _log_images(self, writer, batch: GenBatch, step: int, vout=None) -> None:
+        """Render mesh/skeleton/seg overlays for the first few examples
+        (ref visualize_img/draw_results, src/trainer.py:622-695)."""
+        try:
+            from ..viz.renderer import draw_skeleton, draw_text
+
+            if vout is None:
+                vout = self.val_step(self.state, self._shard(batch))
+            n_show = min(3, batch.images.shape[0])
+            images = np.asarray(batch.images)
+            kp_gt = np.asarray(batch.kp2d)
+            verts = np.asarray(vout["verts"])
+            cams = np.asarray(vout["cams"])
+            kp_pred = np.asarray(vout["pred_keypoints"])
+            size = self.config.img_size
+            for i in range(n_show):
+                img01 = (images[i] + 1) * 0.5
+                gt_px = (kp_gt[i, :, :2] + 1) * 0.5 * size
+                pr_px = (kp_pred[i] + 1) * 0.5 * size
+                vis = kp_gt[i, :, 2] > 0
+                panel = draw_skeleton(img01, gt_px, draw_edges=False, vis=vis)
+                panel = draw_skeleton(panel, pr_px)
+                panels = [panel]
+                if self.smpl.faces is not None and len(self.smpl.faces):
+                    f = 5.0
+                    tz = f / max(float(cams[i, 0]), 1e-6)
+                    cam_t = np.array([cams[i, 1], cams[i, 2], tz])
+                    cam_render = 0.5 * size * np.array([f, 1, 1])
+                    rend = (
+                        self.renderer(verts[i] + cam_t, cam_render, img=img01) / 255.0
+                    )
+                    rend = draw_text(
+                        rend,
+                        {"sc": cams[i, 0], "tx": cams[i, 1], "ty": cams[i, 2]},
+                    )
+                    panels.append(rend)
+                writer.image(f"vis_images/{i}", np.hstack(panels), step)
+            writer.flush()
+        except Exception as e:  # visualization must never kill training
+            print(f"[viz] image logging failed: {e}")
+
+    # ------------------------------------------------------------------
+    def validate_checkpoint(
+        self,
+        draw_best_worst: bool = False,
+        draw_every_image: bool = False,
+        restore: bool = True,
+    ) -> Dict[str, float]:
+        """Full validation sweep (ref validate_checkpoint,
+        src/trainer.py:882-995): mean KPR/MR loss + PCK@0.5, optional
+        best/worst batch renders."""
+        if restore:
+            self.restore()
+        assert self.val_dataset is not None, "validate requires a val dataset"
+        writer = self._writer("checkpoint_val")
+
+        kpr_losses, mr_losses, pcks = [], [], []
+        best = {"val": np.inf, "batch": None, "out": None}
+        worst = {"val": -np.inf, "batch": None, "out": None}
+        step = 0
+        for batch, n_valid in self.val_dataset:
+            out = self.val_step(self.state, self._shard(batch))
+            kpr = float(out["kpr_losses"][-1])
+            mr = float(out["mr_losses"][-1])
+            kpr_losses.append(kpr)
+            mr_losses.append(mr)
+            k = out["pred_keypoints"].shape[1]
+            pcks.append(
+                float(
+                    pck(batch.kp2d[:n_valid, :k], out["pred_keypoints"][:n_valid])
+                )
+            )
+            combined = kpr + mr
+            if draw_best_worst:
+                if combined < best["val"]:
+                    best.update(val=combined, batch=batch, out=out)
+                if combined > worst["val"]:
+                    worst.update(val=combined, batch=batch, out=out)
+            if draw_every_image:
+                self._log_images(writer, batch, step, out)
+            step += 1
+
+        if draw_best_worst and best["batch"] is not None:
+            self._log_images(writer, best["batch"], 0, best["out"])
+            self._log_images(writer, worst["batch"], 1, worst["out"])
+
+        results = {
+            "mean_kpr_loss": float(np.mean(kpr_losses)) if kpr_losses else float("nan"),
+            "mean_mr_loss": float(np.mean(mr_losses)) if mr_losses else float("nan"),
+            "pck@0.5": float(np.mean(pcks)) if pcks else float("nan"),
+        }
+        print(f"average kpr_loss = {results['mean_kpr_loss']}")
+        print(f"average mr_loss = {results['mean_mr_loss']}")
+        print(f"PCK@0.5 = {results['pck@0.5']}")
+        return results

@@ -1,0 +1,154 @@
+"""End-to-end Trainer tests: real tfrecords -> pipelines -> training loop
+-> checkpoint save/restore -> full validation sweep with PCK@0.5."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from human_pose_estimation_tpu.config import Config
+from human_pose_estimation_tpu.core.smpl import save_model_npz
+from human_pose_estimation_tpu.data import tfrecords
+from human_pose_estimation_tpu.data.pipeline import ImagePipeline, MocapPipeline
+from human_pose_estimation_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory, request):
+    tf = pytest.importorskip("tensorflow")
+    tiny = request.getfixturevalue("tiny_model")
+    tmp = tmp_path_factory.mktemp("trainer")
+    rng = np.random.RandomState(0)
+
+    # image records
+    img_dir = tmp / "imgs"
+    seg_dir = tmp / "segs"
+    img_dir.mkdir()
+    seg_dir.mkdir()
+    n = 4
+    joints = np.zeros((3, 14, n), np.float32)
+    pairs = []
+    for i in range(n):
+        h, w = 80, 72
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        seg = np.zeros((h, w, 1), np.uint8)
+        seg[20:60, 18:50] = 255
+        ip = str(img_dir / f"im{i:04d}.jpg")
+        sp = str(seg_dir / f"im{i:04d}_segmentation.png")
+        tf.io.write_file(ip, tf.io.encode_jpeg(img))
+        tf.io.write_file(sp, tf.io.encode_png(seg))
+        joints[0, :, i] = rng.rand(14) * (w - 1)
+        joints[1, :, i] = rng.rand(14) * (h - 1)
+        joints[2, :, i] = 1.0
+        pairs.append((ip, sp))
+    tfrecords.create_image_tfrecord(str(tmp / "lsp_16.tfrecords"), pairs, joints)
+
+    # mocap records
+    poses = rng.randn(30, 72).astype(np.float32) * 0.2
+    shapes = rng.randn(30, 10).astype(np.float32) * 0.4
+    mocap_dir = tmp / "mocap_neutrMosh"
+    mocap_dir.mkdir()
+    tfrecords.create_mocap_tfrecord(
+        str(mocap_dir / "neutrSMPL_CMU_01.tfrecord"), poses, shapes
+    )
+
+    # model asset on disk (exercises the npz loader path)
+    save_model_npz(tiny, str(tmp / "model.npz"))
+    return str(tmp)
+
+
+def _config(workdir, **kw):
+    base = dict(
+        smpl_model_path=os.path.join(workdir, "model.npz"),
+        data_dir=workdir,
+        logs=os.path.join(workdir, "logs"),
+        model_dir=os.path.join(workdir, "logs", "run"),
+        checkpoint_dir=os.path.join(workdir, "ckpt"),
+        datasets=["lsp_16"],
+        val_datasets=["lsp_16"],
+        mocap_datasets=["CMU"],
+        batch_size=4,
+        img_size=56,
+        epoch=1,
+        max_silhouette_points=256,
+        use_mesh_repro_loss=True,
+        encoder_dtype="float32",
+        validation_step_size=2,
+        log_img_step=0,
+        checkpoint_every_epochs=1,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def test_trainer_end_to_end(workdir):
+    cfg = _config(workdir)
+    files = [os.path.join(workdir, "lsp_16.tfrecords")]
+    train_pipe = ImagePipeline(cfg, files=files, mode="train", canvas=96)
+    val_pipe = ImagePipeline(cfg, files=files, mode="train", canvas=96)
+    trainer = Trainer(
+        cfg,
+        dataset=train_pipe,
+        mocap_dataset=None,
+        val_dataset=val_pipe,
+        encoder_stage_sizes=(1, 1, 1, 1),
+    )
+    mocap_pipe = MocapPipeline(cfg, trainer.smpl, shuffle=False)
+    trainer.mocap_dataset = mocap_pipe
+
+    # num_examples("lsp_16") == 16 -> 4 steps per epoch at batch 4;
+    # run one full epoch so the epoch-end checkpoint fires.
+    history = trainer.train(max_steps=4)
+    assert len(history["kpr"]) == 4
+    assert np.isfinite(history["kpr"]).all()
+    assert len(history["critic"]) == 4
+    assert int(trainer.state.step) == 4
+
+    # checkpoint written at epoch end (1 epoch == 1 step here)
+    assert os.path.isdir(cfg.checkpoint_dir)
+    from human_pose_estimation_tpu.utils import checkpoint as ckpt
+
+    assert ckpt.latest_step(cfg.checkpoint_dir) is not None
+
+
+def test_validate_checkpoint_sweep(workdir):
+    cfg = _config(workdir)
+    files = [os.path.join(workdir, "lsp_16.tfrecords")]
+    val_pipe = ImagePipeline(cfg, files=files, mode="val", augment=False, canvas=96)
+    trainer = Trainer(
+        cfg,
+        dataset=None,
+        val_dataset=val_pipe,
+        validation_only=True,
+        encoder_stage_sizes=(1, 1, 1, 1),
+    )
+    results = trainer.validate_checkpoint(restore=True, draw_best_worst=False)
+    assert np.isfinite(results["mean_kpr_loss"])
+    assert np.isfinite(results["mean_mr_loss"])
+    assert 0.0 <= results["pck@0.5"] <= 1.0
+
+
+def test_checkpoint_roundtrip_preserves_state(workdir):
+    cfg = _config(workdir)
+    trainer = Trainer(
+        cfg,
+        dataset=None,
+        val_dataset=None,
+        validation_only=True,
+        encoder_stage_sizes=(1, 1, 1, 1),
+    )
+    before = trainer.state
+    step = trainer.restore()
+    assert step is not None and step >= 1
+    after = trainer.state
+    # step counter survives (fixes reference quirk: epoch accounting reset)
+    assert int(after.step) == step
+    # trained mean theta is restored (fixes reference quirk 5)
+    assert (
+        np.abs(
+            np.asarray(after.gen_params["mean_theta"])
+            - np.asarray(before.gen_params["mean_theta"])
+        ).max()
+        > 0
+    )

@@ -1,0 +1,45 @@
+"""Training entry point (capability parity with ref train.py:15-48).
+
+    python -m human_pose_estimation_tpu.cli.train --data_dir ... \
+        --datasets lsp_train,lsp_ext --use_mesh_repro_loss true
+"""
+from __future__ import annotations
+
+import sys
+
+from ..config import parse_config, prepare_dirs, save_config
+
+
+def main(argv=None) -> None:
+    cfg = parse_config(argv)
+    cfg = prepare_dirs(cfg)
+    save_config(cfg)
+
+    from ..core.smpl import load_model
+    from ..data.pipeline import ImagePipeline, MocapPipeline
+    from ..train.trainer import Trainer
+
+    smpl = load_model(cfg.smpl_model_path)
+    train_pipe = ImagePipeline(cfg, mode="train")
+    val_pipe = (
+        ImagePipeline(cfg, datasets=cfg.val_datasets, mode="val",
+                      shuffle=True, repeat=True)
+        if cfg.use_validation
+        else None
+    )
+    need_mocap = (not cfg.encoder_only) or cfg.do_bone_evaluation
+    mocap_pipe = MocapPipeline(cfg, smpl) if need_mocap else None
+
+    trainer = Trainer(
+        cfg,
+        dataset=train_pipe,
+        mocap_dataset=mocap_pipe,
+        val_dataset=val_pipe,
+        smpl=smpl,
+    )
+    trainer.train()
+    trainer.save()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,31 @@
+"""Checkpoint evaluation entry point (capability parity with ref
+validate_checkpoint.py:11-41): loads the validation set only, forces both
+losses on, sweeps the checkpoint, reports mean KPR/MR losses + PCK@0.5."""
+from __future__ import annotations
+
+import sys
+
+from ..config import parse_config
+
+
+def main(argv=None) -> None:
+    cfg = parse_config(argv)
+    # Both losses on for eval (ref validate_checkpoint.py:33-34 — which
+    # sets a nonexistent flag name; fixed here, SURVEY.md §8 quirk 1).
+    cfg = cfg.replace(use_mesh_repro_loss=True, use_kpr_loss=True)
+
+    from ..core.smpl import load_model
+    from ..data.pipeline import ImagePipeline
+    from ..train.trainer import Trainer
+
+    smpl = load_model(cfg.smpl_model_path)
+    val_pipe = ImagePipeline(cfg, datasets=cfg.val_datasets, mode="val")
+    trainer = Trainer(
+        cfg, val_dataset=val_pipe, validation_only=True, smpl=smpl
+    )
+    results = trainer.validate_checkpoint(draw_best_worst=True)
+    print(results)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

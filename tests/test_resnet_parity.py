@@ -1,0 +1,41 @@
+"""ResNet-50 encoder parity: our Flax model with ported Keras weights must
+reproduce Keras outputs (the architecture-equivalence oracle that makes
+ImageNet-weight ports exact; BASELINE.md <=1e-3 parity)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from human_pose_estimation_tpu.models.resnet import ResNet50
+from human_pose_estimation_tpu.models.port_keras import port_resnet50
+
+
+@pytest.mark.slow
+def test_resnet50_matches_keras():
+    tf = pytest.importorskip("tensorflow")
+    from tensorflow.keras.applications import ResNet50 as KerasResNet50
+
+    keras_model = KerasResNet50(include_top=False, weights=None, pooling="avg")
+    params, stats = port_resnet50(keras_model)
+
+    model = ResNet50()
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 224, 224, 3).astype(np.float32) * 2 - 1
+
+    ours = model.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x), train=False
+    )
+    theirs = keras_model(tf.constant(x), training=False).numpy()
+    assert ours.shape == theirs.shape == (2, 2048)
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-4, rtol=1e-3)
+
+
+def test_resnet_small_shapes():
+    model = ResNet50()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    out = model.apply(variables, jnp.zeros((2, 64, 64, 3)), train=False)
+    assert out.shape == (2, 2048)
+    # param count ~23.6M (ResNet50 sans top)
+    n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(variables["params"]))
+    assert 23_000_000 < n_params < 26_000_000

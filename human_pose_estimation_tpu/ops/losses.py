@@ -139,6 +139,7 @@ def mesh_reprojection_loss(
     pred_points: jax.Array,
     scale_mode: str = "reference",
     chunk_size: int = 1024,
+    impl: str = "auto",
 ) -> jax.Array:
     """Silhouette mesh-reprojection loss summed over the batch.
 
@@ -149,8 +150,18 @@ def mesh_reprojection_loss(
     (pixels + vertices) count per image.
 
     Returns a scalar (sum over batch, as ref src/ops.py:117-137).
+
+    impl: 'xla' = scan-chunked XLA version; 'pallas' = fused TPU kernel
+    (ops/pallas_chamfer.py); 'auto' picks pallas on TPU backends.
     """
-    per_image = chamfer_loss(gt_points, gt_mask, pred_points, chunk_size)
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from .pallas_chamfer import chamfer_pallas
+
+        per_image = chamfer_pallas(gt_points, gt_mask, pred_points)
+    else:
+        per_image = chamfer_loss(gt_points, gt_mask, pred_points, chunk_size)
     v = pred_points.shape[1]
     if scale_mode == "reference":
         denom = jnp.asarray(3.0 + v, per_image.dtype)

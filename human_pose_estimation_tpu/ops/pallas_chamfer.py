@@ -1,0 +1,208 @@
+"""Pallas TPU kernel for the bidirectional silhouette chamfer distance.
+
+The mesh-reprojection loss needs, per image, a (P silhouette pixels) x
+(V projected vertices) distance field reduced two ways:
+  * gt->pred: L1 distance to the L2-nearest vertex, summed over pixels;
+  * pred->gt: L2 distance to the nearest pixel, summed over vertices.
+(ref src/ops.py:60-137 computes the full matrix per image in a Python
+batch loop.)
+
+This kernel streams the field tile-by-tile in VMEM (flash-attention-style:
+SURVEY.md §5 identifies the P x V axes as the real blockwise-computation
+opportunity in this model):
+
+  grid = (batch, P/C); each step materializes one (C, V) tile of exact
+  squared distances on the VPU (no expanded-form cancellation), folds it
+  into a running per-vertex minimum (pred->gt) that lives in the output
+  ref across grid steps, and accumulates the masked per-pixel L1-of-
+  nearest via a tie-tolerant two-pass min (no gather/argmin needed on
+  TPU). HBM traffic is O(P + V) per image instead of O(P*V).
+
+The nearest-vertex selection under exact distance ties differs from
+"first index wins" only when two vertices are exactly equidistant AND
+have different L1 distances — measure-zero for float inputs.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BIG = 1e30
+
+
+def _kernel(gt_ref, mask_ref, pred_ref, l1_ref, vmin_ref):
+    from jax.experimental import pallas as pl
+
+    pt = pl.program_id(1)
+
+    gx = gt_ref[0, 0, :]  # (C,)
+    gy = gt_ref[0, 1, :]
+    px = pred_ref[0, 0, :]  # (V,)
+    py = pred_ref[0, 1, :]
+    mask = mask_ref[0, :]  # (C,)
+
+    dx = gx[:, None] - px[None, :]  # (C, V)
+    dy = gy[:, None] - py[None, :]
+    d = dx * dx + dy * dy
+
+    # --- pred -> gt: running per-vertex min over masked pixels ----------
+    d_row_masked = jnp.where(mask[:, None] > 0, d, BIG)
+    tile_min = jnp.min(d_row_masked, axis=0)  # (V,)
+
+    @pl.when(pt == 0)
+    def _():
+        vmin_ref[0, :] = tile_min
+
+    @pl.when(pt > 0)
+    def _():
+        vmin_ref[0, :] = jnp.minimum(vmin_ref[0, :], tile_min)
+
+    # --- gt -> pred: L1 of the L2-nearest vertex, masked sum ------------
+    dmin = jnp.min(d, axis=1, keepdims=True)  # (C, 1)
+    l1 = jnp.abs(dx) + jnp.abs(dy)
+    l1_near = jnp.min(jnp.where(d <= dmin, l1, BIG), axis=1)  # (C,)
+    tile_l1 = jnp.sum(l1_near * mask)
+
+    @pl.when(pt == 0)
+    def _():
+        l1_ref[0, 0] = tile_l1
+
+    @pl.when(pt > 0)
+    def _():
+        l1_ref[0, 0] = l1_ref[0, 0] + tile_l1
+
+
+def _chamfer_forward(
+    gt_points: jax.Array,  # (N, P, 2)
+    gt_mask: jax.Array,  # (N, P)
+    pred_points: jax.Array,  # (N, V, 2)
+    chunk_size: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """(N,) unnormalized bidirectional chamfer distances (see
+    ops.losses.chamfer_loss for semantics; this is the TPU fast path)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, p, _ = gt_points.shape
+    v = pred_points.shape[1]
+    f32 = jnp.float32
+
+    c = min(chunk_size, max(8, p))
+    pad_p = (-p) % c
+    vp = ((v + 127) // 128) * 128
+
+    gt_t = jnp.transpose(gt_points.astype(f32), (0, 2, 1))  # (N, 2, P)
+    gt_t = jnp.pad(gt_t, ((0, 0), (0, 0), (0, pad_p)))
+    mask_p = jnp.pad(gt_mask.astype(f32), ((0, 0), (0, pad_p)))
+    pred_t = jnp.transpose(pred_points.astype(f32), (0, 2, 1))  # (N, 2, V)
+    # padding vertices sit at BIG distance so they never win any minimum
+    pred_t = jnp.pad(pred_t, ((0, 0), (0, 0), (0, vp - v)), constant_values=1e15)
+
+    num_pt = gt_t.shape[2] // c
+    grid = (n, num_pt)
+
+    l1_sum, vert_min = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2, c), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda b, t: (b, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, vp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, vp), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1), f32),
+            jax.ShapeDtypeStruct((n, vp), f32),
+        ],
+        interpret=interpret,
+    )(gt_t, mask_p, pred_t)
+
+    has_gt = jnp.sum(gt_mask, axis=-1) > 0
+    vmin = vert_min[:, :v]
+    l2 = jnp.sum(jnp.sqrt(jnp.maximum(vmin, 0.0)) * (vmin < BIG / 2), axis=-1)
+    l1 = l1_sum[:, 0]
+    return jnp.where(has_gt, l1 + l2, 0.0)
+
+
+def _chamfer_grad_pred(gt_points, gt_mask, pred_points, cotangent, chunk_size=128):
+    """Analytic d(chamfer)/d(pred_points), chunked over pixels.
+
+    Matches autodiff of the XLA implementation: gradient flows through the
+    selected distances, not the (piecewise-constant) selections:
+      * pred->gt: unit vector from nearest pixel to each vertex;
+      * gt->pred: -sign(g - p) scattered onto each pixel's nearest
+        vertex (exact ties split across tied vertices — measure zero).
+    """
+    n, p, _ = gt_points.shape
+    v = pred_points.shape[1]
+    big = jnp.asarray(BIG, jnp.float32)
+
+    pad = (-p) % chunk_size
+    gt_p = jnp.pad(gt_points, ((0, 0), (0, pad), (0, 0)))
+    mask_p = jnp.pad(gt_mask, ((0, 0), (0, pad)))
+    num_chunks = gt_p.shape[1] // chunk_size
+    gt_c = gt_p.reshape(n, num_chunks, chunk_size, 2).transpose(1, 0, 2, 3)
+    mask_c = mask_p.reshape(n, num_chunks, chunk_size).transpose(1, 0, 2)
+
+    def body(carry, chunk):
+        vmin, best_xy, l1_grad = carry
+        pts, mask = chunk  # (N, C, 2), (N, C)
+        diff = pts[:, :, None, :] - pred_points[:, None, :, :]  # (N, C, V, 2)
+        d = jnp.sum(diff * diff, axis=-1)  # (N, C, V)
+        # gt->pred: assignment to (tied-)nearest vertices
+        dmin_pix = jnp.min(d, axis=2, keepdims=True)
+        assign = (d <= dmin_pix).astype(jnp.float32)
+        assign = assign / jnp.maximum(jnp.sum(assign, axis=2, keepdims=True), 1.0)
+        contrib = -jnp.sign(diff) * (assign * mask[:, :, None])[..., None]
+        l1_grad = l1_grad + jnp.sum(contrib, axis=1)  # (N, V, 2)
+        # pred->gt: running nearest pixel per vertex
+        d_masked = jnp.where(mask[:, :, None] > 0, d, big)
+        tile_min = jnp.min(d_masked, axis=1)
+        tile_arg = jnp.argmin(d_masked, axis=1)
+        tile_xy = jnp.take_along_axis(pts, tile_arg[..., None], axis=1)
+        take = tile_min < vmin
+        best_xy = jnp.where(take[..., None], tile_xy, best_xy)
+        vmin = jnp.where(take, tile_min, vmin)
+        return (vmin, best_xy, l1_grad), None
+
+    init = (
+        jnp.full((n, v), big),
+        jnp.zeros((n, v, 2), jnp.float32),
+        jnp.zeros((n, v, 2), jnp.float32),
+    )
+    (vmin, best_xy, l1_grad), _ = jax.lax.scan(body, init, (gt_c, mask_c))
+
+    delta = pred_points - best_xy
+    norm = jnp.linalg.norm(delta, axis=-1, keepdims=True)
+    l2_grad = jnp.where(norm > 1e-12, delta / jnp.maximum(norm, 1e-12), 0.0)
+    l2_grad = jnp.where((vmin < BIG / 2)[..., None], l2_grad, 0.0)
+
+    has_gt = (jnp.sum(gt_mask, axis=-1) > 0).astype(jnp.float32)
+    scale = (cotangent * has_gt)[:, None, None]
+    return scale * (l1_grad + l2_grad)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def chamfer_pallas(gt_points, gt_mask, pred_points, chunk_size=256, interpret=False):
+    return _chamfer_forward(gt_points, gt_mask, pred_points, chunk_size, interpret)
+
+
+def _chamfer_fwd(gt_points, gt_mask, pred_points, chunk_size, interpret):
+    out = _chamfer_forward(gt_points, gt_mask, pred_points, chunk_size, interpret)
+    return out, (gt_points, gt_mask, pred_points)
+
+
+def _chamfer_bwd(chunk_size, interpret, residuals, cotangent):
+    gt_points, gt_mask, pred_points = residuals
+    grad_pred = _chamfer_grad_pred(gt_points, gt_mask, pred_points, cotangent)
+    return jnp.zeros_like(gt_points), jnp.zeros_like(gt_mask), grad_pred
+
+
+chamfer_pallas.defvjp(_chamfer_fwd, _chamfer_bwd)

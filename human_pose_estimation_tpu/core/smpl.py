@@ -226,22 +226,25 @@ def smpl_forward(
         return out.reshape(n, v, 3)
 
     # 1. Shape blendshapes.
-    v_shaped = blend(beta, model.shapedirs) + model.v_template
+    with jax.named_scope("smpl_shape_blend"):
+        v_shaped = blend(beta, model.shapedirs) + model.v_template
 
-    # 2. Shape-dependent joint locations.
-    joints_rest = jnp.einsum("nvc,vk->nkc", v_shaped, model.j_regressor)
+        # 2. Shape-dependent joint locations.
+        joints_rest = jnp.einsum("nvc,vk->nkc", v_shaped, model.j_regressor)
 
     # 3. Per-joint rotations + pose blendshapes.
-    rotations = rodrigues(theta.reshape(n, NUM_JOINTS, 3))
-    pose_feature = (rotations[:, 1:] - jnp.eye(3, dtype=rotations.dtype)).reshape(
-        n, POSE_FEATURE_DIM
-    )
-    v_posed = blend(pose_feature, model.posedirs) + v_shaped
+    with jax.named_scope("smpl_pose_blend"):
+        rotations = rodrigues(theta.reshape(n, NUM_JOINTS, 3))
+        pose_feature = (
+            rotations[:, 1:] - jnp.eye(3, dtype=rotations.dtype)
+        ).reshape(n, POSE_FEATURE_DIM)
+        v_posed = blend(pose_feature, model.posedirs) + v_shaped
 
     # 4. Forward kinematics.
-    posed_joints, world_r, skin_t = global_rigid_transform(
-        rotations, joints_rest, model.parents
-    )
+    with jax.named_scope("smpl_fk"):
+        posed_joints, world_r, skin_t = global_rigid_transform(
+            rotations, joints_rest, model.parents
+        )
 
     # 5. Linear blend skinning. Blend the flattened per-joint (R | t) with
     #    the LBS weights in ONE (V,K)x(K,12) matmul per sample — the
@@ -249,20 +252,22 @@ def smpl_forward(
     #    blending R and t separately as (N,V,3,3) einsums materializes a
     #    multi-GB intermediate at batch >= 128 and collapses throughput.
     #    The final 3-vector contraction fuses elementwise in XLA.
-    a_flat = jnp.concatenate(
-        [world_r.reshape(n, NUM_JOINTS, 9), skin_t], axis=-1
-    )  # (N, K, 12)
-    blended = jnp.einsum(
-        "vk,nkx->nvx", model.lbs_weights, a_flat, preferred_element_type=f32
-    )
-    r_blend = blended[..., :9].reshape(n, v, 3, 3)
-    verts = jnp.einsum("nvij,nvj->nvi", r_blend, v_posed) + blended[..., 9:]
+    with jax.named_scope("smpl_lbs"):
+        a_flat = jnp.concatenate(
+            [world_r.reshape(n, NUM_JOINTS, 9), skin_t], axis=-1
+        )  # (N, K, 12)
+        blended = jnp.einsum(
+            "vk,nkx->nvx", model.lbs_weights, a_flat, preferred_element_type=f32
+        )
+        r_blend = blended[..., :9].reshape(n, v, 3, 3)
+        verts = jnp.einsum("nvij,nvj->nvi", r_blend, v_posed) + blended[..., 9:]
 
     # 6. Keypoint regression (cocoplus 19 / LSP 14).
-    regressor = model.joint_regressor
-    if joint_type == "lsp":
-        regressor = regressor[:, :14]
-    joints = jnp.einsum("nvc,vj->njc", verts, regressor)
+    with jax.named_scope("smpl_joint_regress"):
+        regressor = model.joint_regressor
+        if joint_type == "lsp":
+            regressor = regressor[:, :14]
+        joints = jnp.einsum("nvc,vj->njc", verts, regressor)
 
     return SMPLOutput(
         verts=verts, joints=joints, rotations=rotations, joints_smpl=posed_joints

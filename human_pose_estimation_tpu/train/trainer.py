@@ -169,6 +169,7 @@ class Trainer:
 
         itr, epoch = 0, 0
         t_epoch = time.time()
+        t_step = time.time()
         for batch, _n in self.dataset:
             mocap = next(mocap_iter) if (mocap_iter is not None and need_mocap) else None
             state, metrics = self.train_step(
@@ -176,6 +177,17 @@ class Trainer:
             )
             self.state = state
             step = int(state.step)
+
+            # -- profiling (SURVEY.md §5: jax.profiler trace + step timing)
+            if cfg.profile_dir:
+                if step == cfg.profile_start_step:
+                    jax.profiler.start_trace(cfg.profile_dir)
+                elif step == cfg.profile_end_step:
+                    jax.block_until_ready(state.gen_params)
+                    jax.profiler.stop_trace()
+            now = time.time()
+            train_writer.scalar("perf/step_time_ms", (now - t_step) * 1e3, step)
+            t_step = now
 
             # -- scalars (ref :747-783) --------------------------------
             if cfg.use_kpr_loss:

@@ -1,0 +1,147 @@
+"""Predictor serving path + visualization components."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from human_pose_estimation_tpu.config import Config
+from human_pose_estimation_tpu.core.smpl import save_model_npz
+from human_pose_estimation_tpu.infer.predictor import Predictor
+from human_pose_estimation_tpu.viz import renderer as viz
+from human_pose_estimation_tpu.utils.image import preprocess_for_inference
+
+
+@pytest.fixture(scope="module")
+def predictor(tmp_path_factory, request):
+    tiny = request.getfixturevalue("tiny_model")
+    tmp = tmp_path_factory.mktemp("pred")
+    save_model_npz(tiny, str(tmp / "model.npz"))
+    cfg = Config(
+        smpl_model_path=str(tmp / "model.npz"),
+        checkpoint_dir=str(tmp / "ckpt_none"),  # no checkpoint -> fresh init
+        img_size=64,
+        batch_size=2,
+        encoder_dtype="float32",
+    )
+    # shallow encoder for CPU test speed
+    from human_pose_estimation_tpu.models.hmr import HMR
+    import jax.numpy as jnp
+
+    p = Predictor.__new__(Predictor)
+    p.config = cfg
+    p.batch_size = 2
+    p.smpl = tiny
+    p.hmr = HMR(tiny, num_stage=3, joint_type="lsp",
+                encoder_stage_sizes=(1, 1, 1, 1))
+    variables = p.hmr.init(jax.random.PRNGKey(0), img_size=64)
+    p.variables = variables
+    from human_pose_estimation_tpu.utils.assets import synthetic_mean_params
+
+    p.mean_theta = jnp.asarray(synthetic_mean_params()[None, :])
+    p._predict = jax.jit(p._predict_impl)
+    return p
+
+
+def test_predict_batch_and_padding(predictor, rng):
+    imgs = rng.rand(3, 64, 64, 3).astype(np.float32) * 2 - 1  # 3 > batch 2
+    out = predictor.predict(imgs)
+    assert out["generated_verts"].shape == (3, 120, 3)
+    assert out["generated_cams"].shape == (3, 3)
+    assert out["generated_joints"].shape == (3, 14, 3)
+    assert np.isfinite(out["generated_verts"]).all()
+
+    # single-image API (ref predict_single_image)
+    v, c, j = predictor.predict_single_image(imgs[0])
+    np.testing.assert_allclose(v[0], out["generated_verts"][0], atol=1e-5)
+
+
+def test_predict_is_deterministic(predictor, rng):
+    imgs = rng.rand(2, 64, 64, 3).astype(np.float32)
+    a = predictor.predict(imgs)["generated_verts"]
+    b = predictor.predict(imgs)["generated_verts"]
+    np.testing.assert_array_equal(a, b)
+
+
+def test_rasterizer_basic():
+    # one big triangle in front of the camera must cover pixels
+    verts = np.array(
+        [[-1.0, -1.0, 3.0], [1.0, -1.0, 3.0], [0.0, 1.5, 3.0]], np.float64
+    )
+    faces = np.array([[0, 1, 2]])
+    r = viz.SMPLRenderer(img_size=64, faces=faces)
+    img = r(verts, cam=[100.0, 32.0, 32.0])
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+    # mesh color differs from white background somewhere near center
+    assert (img[20:44, 20:44] != 255).any()
+
+    # occlusion: nearer triangle wins
+    verts2 = np.vstack([verts, verts * np.array([0.5, 0.5, 0.5])])
+    faces2 = np.array([[0, 1, 2], [3, 4, 5]])
+    r2 = viz.SMPLRenderer(img_size=64, faces=faces2)
+    img2 = r2(verts2, cam=[100.0, 32.0, 32.0], do_alpha=True)
+    assert img2.shape == (64, 64, 4)
+    assert img2[..., 3].any()
+
+    rot = r.rotated(verts, 45, cam=[100.0, 32.0, 32.0])
+    assert rot.shape == (64, 64, 3)
+
+
+def test_draw_skeleton_and_text(rng):
+    img = rng.rand(64, 64, 3).astype(np.float32)
+    joints = rng.rand(19, 2) * 64
+    out = viz.draw_skeleton(img, joints)
+    assert out.shape == img.shape and out.dtype == np.float32
+    out14 = viz.draw_skeleton(img, joints[:14], vis=np.ones(14))
+    assert out14.shape == img.shape
+    txt = viz.draw_text(img, {"sc": 0.9, "kpl": 1.23})
+    assert txt.shape == img.shape
+
+
+def test_get_original_roundtrip():
+    proc = {"scale": 0.5, "start_pt": np.array([10.0, 20.0]), "img_size": 224}
+    verts = np.zeros((5, 3))
+    cam = np.array([0.9, 0.1, -0.2])
+    joints = np.ones((14, 2)) * 112
+    cam_r, v_shift, kp = viz.get_original(proc, verts, cam, joints)
+    assert cam_r.shape == (3,)
+    assert v_shift.shape == (5, 3)
+    # vertex z-shift equals flength / (0.5 * img_size * cam_s)
+    np.testing.assert_allclose(v_shift[0, 2], 500.0 / (0.5 * 224 * 0.9))
+    np.testing.assert_allclose(kp, (joints + proc["start_pt"] - 112) * 2.0)
+
+
+def test_preprocess_for_inference(rng):
+    img = (rng.rand(100, 80, 3) * 255).astype(np.uint8)
+    norm, proc, orig = preprocess_for_inference(img, img_size=64)
+    assert norm.shape == (64, 64, 3)
+    assert -1.0 <= norm.min() and norm.max() <= 1.0
+    assert proc["img_size"] == 64
+
+
+def test_dataset_visualizers(tmp_path, tiny_model, rng):
+    from human_pose_estimation_tpu.train.step import GenBatch
+    from human_pose_estimation_tpu.viz.datasets import (
+        draw_smpl_meshes,
+        show_image_batch,
+    )
+    import jax.numpy as jnp
+
+    batch = GenBatch(
+        images=jnp.asarray(rng.rand(2, 32, 32, 3) * 2 - 1),
+        seg_points=jnp.asarray(rng.rand(2, 16, 2) * 32),
+        seg_mask=jnp.ones((2, 16)),
+        kp2d=jnp.asarray(rng.rand(2, 19, 3)),
+    )
+    p1 = show_image_batch(batch, out_path=str(tmp_path / "b.png"))
+    assert os.path.exists(p1)
+    p2 = draw_smpl_meshes(
+        tiny_model,
+        rng.randn(1, 72).astype(np.float32) * 0.1,
+        rng.randn(1, 10).astype(np.float32) * 0.1,
+        angles=(0.0, 90.0),
+        img_size=48,
+        out_path=str(tmp_path / "m.png"),
+    )
+    assert os.path.exists(p2)

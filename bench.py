@@ -22,7 +22,7 @@ def main():
         synthetic_model,
     )
 
-    batch = int(__import__("os").environ.get("BENCH_BATCH", "256"))
+    batch = int(__import__("os").environ.get("BENCH_BATCH", "512"))
     smpl = synthetic_model(num_verts=6890, seed=0)
     hmr = HMR(smpl, num_stage=3, joint_type="lsp", encoder_dtype=jnp.bfloat16)
     variables = hmr.init(jax.random.PRNGKey(0), img_size=224)

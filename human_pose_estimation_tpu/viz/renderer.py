@@ -44,11 +44,34 @@ def rasterize_mesh(
     center: np.ndarray,  # (2,) principal point [cx, cy]
     color: np.ndarray,
     background: Optional[np.ndarray] = None,  # (H, W, 3) float [0, 1]
+    use_native: bool = True,
 ):
     """Z-buffered perspective rasterization with flat shading.
 
-    Returns (image (H, W, 3) float [0, 1], coverage mask (H, W) bool).
+    Uses the C++ rasterizer (native/rasterizer.cpp) when a compiler is
+    available, with this numpy implementation as the behavioral spec and
+    fallback. Returns (image (H, W, 3) float [0, 1], mask (H, W) bool).
     """
+    if use_native:
+        try:
+            from ..native import rasterize_native
+
+            out = rasterize_native(
+                np.asarray(verts, np.float64),
+                np.asarray(faces, np.int64),
+                height,
+                width,
+                focal,
+                np.asarray(center, np.float64),
+                np.asarray(color, np.float64),
+                _LIGHT_DIR,
+                _AMBIENT,
+                background,
+            )
+            if out is not None:
+                return out
+        except Exception:
+            pass  # fall through to numpy
     verts = np.asarray(verts, np.float64)
     z = np.maximum(verts[:, 2], 1e-6)
     px = focal * verts[:, 0] / z + center[0]

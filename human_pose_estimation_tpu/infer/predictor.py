@@ -60,6 +60,10 @@ class Predictor:
         self._predict = jax.jit(self._predict_impl)
 
     def _predict_impl(self, images: jax.Array) -> Dict[str, jax.Array]:
+        if images.dtype == jnp.uint8:
+            # Serving fast path: ship uint8 (4x less host->device traffic),
+            # normalize to [-1, 1] on device.
+            images = images.astype(jnp.float32) / 127.5 - 1.0
         stages, _ = self.hmr(
             self.variables,
             images,
@@ -77,17 +81,22 @@ class Predictor:
         }
 
     def predict(self, images) -> Dict[str, np.ndarray]:
-        """Predict on a (N, H, W, 3) [-1, 1] image batch.
+        """Predict on a (N, H, W, 3) image batch — float in [-1, 1], or
+        uint8 (normalized on device; preferred for serving, 4x less
+        host->device traffic).
 
         Pads N up to the compiled batch size so every call hits the same
         executable (no recompiles in a serving loop).
         """
-        images = np.asarray(images, np.float32)
+        images = np.asarray(images)
+        if images.dtype != np.uint8:
+            images = images.astype(np.float32)
         n = images.shape[0]
         b = max(self.batch_size, n)
         if images.shape[0] < b:
             images = np.concatenate(
-                [images, np.zeros((b - n, *images.shape[1:]), np.float32)], axis=0
+                [images, np.zeros((b - n, *images.shape[1:]), images.dtype)],
+                axis=0,
             )
         out = self._predict(jnp.asarray(images))
         return {k: np.asarray(v)[:n] for k, v in out.items()}

@@ -79,6 +79,7 @@ class Config:
     mr_scale_mode: str = "reference"  # 'reference' | 'count' (SURVEY.md §8.9)
     seed: int = 0
     mesh_axis: str = "data"  # DP mesh axis name
+    remat_encoder: bool = False  # jax.checkpoint the encoder in training
     profile_dir: str = ""  # when set, capture a jax.profiler trace here
     profile_start_step: int = 10
     profile_end_step: int = 15

@@ -135,6 +135,7 @@ class ImagePipeline:
         shuffle: Optional[bool] = None,
         repeat: Optional[bool] = None,
         seed: Optional[int] = None,
+        shard_by_host: bool = False,
     ):
         tf = _tf()
         self.cfg = cfg
@@ -145,6 +146,12 @@ class ImagePipeline:
                 cfg.data_dir, datasets if datasets is not None else cfg.datasets
             )
         self.files = list(files)
+        if shard_by_host and jax.process_count() > 1:
+            # Multi-host DP: each host reads a disjoint file slice (the
+            # per-host half of the sharded input pipeline, SURVEY.md §2
+            # parallelism plan). Requires more files than hosts to be
+            # effective; batch_size here is the per-host batch.
+            self.files = self.files[jax.process_index() :: jax.process_count()]
         augment = (mode == "train") if augment is None else augment
         shuffle = (mode == "train") if shuffle is None else shuffle
         repeat = (mode == "train") if repeat is None else repeat

@@ -75,6 +75,7 @@ class HMR:
         joint_type: str = "lsp",
         encoder_dtype: Any = jnp.float32,
         encoder_stage_sizes=None,
+        remat_encoder: bool = False,
     ):
         self.smpl = smpl
         self.num_stage = num_stage
@@ -88,6 +89,7 @@ class HMR:
                 stage_sizes=tuple(encoder_stage_sizes), compute_dtype=encoder_dtype
             )
         self.regressor = IEFRegressor(compute_dtype=encoder_dtype)
+        self.remat_encoder = remat_encoder
 
     # ------------------------------------------------------------------
     # Initialization
@@ -142,9 +144,16 @@ class HMR:
             "batch_stats": variables["batch_stats"]["encoder"],
         }
         if train:
-            features, enc_mut = self.encoder.apply(
-                enc_vars, images, train=True, mutable=["batch_stats"]
-            )
+            def enc_fwd(variables, images):
+                return self.encoder.apply(
+                    variables, images, train=True, mutable=["batch_stats"]
+                )
+
+            if self.remat_encoder:
+                # Rematerialize encoder activations in the backward pass —
+                # trades FLOPs for HBM so training batches can grow.
+                enc_fwd = jax.checkpoint(enc_fwd)
+            features, enc_mut = enc_fwd(enc_vars, images)
             new_batch_stats = {"encoder": enc_mut["batch_stats"]}
         else:
             features = self.encoder.apply(enc_vars, images, train=False)

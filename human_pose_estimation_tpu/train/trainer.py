@@ -69,6 +69,7 @@ class Trainer:
             joint_type=config.joint_type,
             encoder_dtype=dtype,
             encoder_stage_sizes=encoder_stage_sizes,
+            remat_encoder=config.remat_encoder,
         )
         self.critic = Critic()
         mean_theta = load_mean_theta(config.mean_params_path)

@@ -86,3 +86,31 @@ def test_train_mode_dropout_only_last_stage(hmr_setup):
         np.asarray(s1[1].theta), np.asarray(s2[1].theta), atol=1e-6
     )
     assert np.abs(np.asarray(s1[2].theta) - np.asarray(s2[2].theta)).max() > 0
+
+
+def test_remat_encoder_same_results(hmr_setup):
+    """jax.checkpoint on the encoder changes memory, not math."""
+    tiny, hmr, variables, mean, images = hmr_setup
+    from human_pose_estimation_tpu.models.hmr import HMR
+
+    hmr_r = HMR(
+        tiny, num_stage=3, joint_type="lsp",
+        encoder_stage_sizes=(1, 1, 1, 1), remat_encoder=True,
+    )
+
+    def loss(hm):
+        stages, _ = hm(
+            variables, images, mean, train=True,
+            dropout_rng=jax.random.PRNGKey(0),
+        )
+        return jnp.sum(stages[-1].verts ** 2)
+
+    v1, v2 = loss(hmr), loss(hmr_r)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+
+    g1 = jax.grad(lambda im: jnp.sum(hmr(variables, im, mean, train=True,
+                                         dropout_rng=jax.random.PRNGKey(0))[0][-1].verts ** 2))(images)
+    g2 = jax.grad(lambda im: jnp.sum(hmr_r(variables, im, mean, train=True,
+                                           dropout_rng=jax.random.PRNGKey(0))[0][-1].verts ** 2))(images)
+    # recompute reorders fp32 reductions; tolerance covers reassociation
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)

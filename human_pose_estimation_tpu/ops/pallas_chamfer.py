@@ -42,7 +42,7 @@ def _kernel(gt_ref, mask_ref, pred_ref, l1_ref, vmin_ref):
     gy = gt_ref[0, 1, :]
     px = pred_ref[0, 0, :]  # (V,)
     py = pred_ref[0, 1, :]
-    mask = mask_ref[0, :]  # (C,)
+    mask = mask_ref[0, 0, :]  # (C,)
 
     dx = gx[:, None] - px[None, :]  # (C, V)
     dy = gy[:, None] - py[None, :]
@@ -54,11 +54,11 @@ def _kernel(gt_ref, mask_ref, pred_ref, l1_ref, vmin_ref):
 
     @pl.when(pt == 0)
     def _():
-        vmin_ref[0, :] = tile_min
+        vmin_ref[0, 0, :] = tile_min
 
     @pl.when(pt > 0)
     def _():
-        vmin_ref[0, :] = jnp.minimum(vmin_ref[0, :], tile_min)
+        vmin_ref[0, 0, :] = jnp.minimum(vmin_ref[0, 0, :], tile_min)
 
     # --- gt -> pred: L1 of the L2-nearest vertex, masked sum ------------
     dmin = jnp.min(d, axis=1, keepdims=True)  # (C, 1)
@@ -68,11 +68,11 @@ def _kernel(gt_ref, mask_ref, pred_ref, l1_ref, vmin_ref):
 
     @pl.when(pt == 0)
     def _():
-        l1_ref[0, 0] = tile_l1
+        l1_ref[0, 0, 0] = tile_l1
 
     @pl.when(pt > 0)
     def _():
-        l1_ref[0, 0] = l1_ref[0, 0] + tile_l1
+        l1_ref[0, 0, 0] = l1_ref[0, 0, 0] + tile_l1
 
 
 def _chamfer_forward(
@@ -97,7 +97,9 @@ def _chamfer_forward(
 
     gt_t = jnp.transpose(gt_points.astype(f32), (0, 2, 1))  # (N, 2, P)
     gt_t = jnp.pad(gt_t, ((0, 0), (0, 0), (0, pad_p)))
-    mask_p = jnp.pad(gt_mask.astype(f32), ((0, 0), (0, pad_p)))
+    # (N, 1, P): TPU lowering needs the last-two block dims aligned to
+    # (8, 128) or equal to the array dims — the singleton axis satisfies it.
+    mask_p = jnp.pad(gt_mask.astype(f32), ((0, 0), (0, pad_p)))[:, None, :]
     pred_t = jnp.transpose(pred_points.astype(f32), (0, 2, 1))  # (N, 2, V)
     # padding vertices sit at BIG distance so they never win any minimum
     pred_t = jnp.pad(pred_t, ((0, 0), (0, 0), (0, vp - v)), constant_values=1e15)
@@ -110,24 +112,24 @@ def _chamfer_forward(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 2, c), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda b, t: (b, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, vp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, vp), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, vp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, 1), f32),
-            jax.ShapeDtypeStruct((n, vp), f32),
+            jax.ShapeDtypeStruct((n, 1, 1), f32),
+            jax.ShapeDtypeStruct((n, 1, vp), f32),
         ],
         interpret=interpret,
     )(gt_t, mask_p, pred_t)
 
     has_gt = jnp.sum(gt_mask, axis=-1) > 0
-    vmin = vert_min[:, :v]
+    vmin = vert_min[:, 0, :v]
     l2 = jnp.sum(jnp.sqrt(jnp.maximum(vmin, 0.0)) * (vmin < BIG / 2), axis=-1)
-    l1 = l1_sum[:, 0]
+    l1 = l1_sum[:, 0, 0]
     return jnp.where(has_gt, l1 + l2, 0.0)
 
 

@@ -94,9 +94,7 @@ def test_mocap_pipeline(tmp_path, tiny_model):
     assert m.shapes.shape == (6, 10)
     assert m.rotations.shape == (6, 23, 3, 3)
     # Rotations are orthonormal (came through the real SMPL forward).
-    rtr = np.einsum("nkij,nkljT->", np.asarray(m.rotations), np.asarray(m.rotations)) if False else None
     r = np.asarray(m.rotations)
-    eye = np.einsum("nkij,nkkj->", r, r) if False else None
     prod = np.einsum("nkij,nklj->nkil", r, r)
     np.testing.assert_allclose(
         prod, np.broadcast_to(np.eye(3), prod.shape), atol=1e-5
@@ -109,3 +107,39 @@ def test_record_files_and_num_examples(tmp_path):
     assert tfrecords.num_examples(["lsp_train", "lsp_ext"]) == 9642
     files = tfrecords.record_files(str(tmp_path), ["lsp_train"])
     assert files == [os.path.join(str(tmp_path), "lsp_train.tfrecords")]
+
+
+def test_pairing_and_center_helpers(tmp_path):
+    # LSP naming: imNNNN.jpg <-> imNNNN_segmentation.png
+    img_dir = tmp_path / "lsp"
+    seg_dir = tmp_path / "lsp_seg"
+    img_dir.mkdir()
+    seg_dir.mkdir()
+    for i in range(3):
+        (img_dir / f"im{i:04d}.jpg").write_bytes(b"x")
+        (seg_dir / f"im{i:04d}_segmentation.png").write_bytes(b"x")
+    pairs = tfrecords.pair_lsp(str(img_dir), str(seg_dir))
+    assert len(pairs) == 3
+    assert pairs[0][1].endswith("im0000_segmentation.png")
+
+    # LSP-ext naming: seg "<stem>_*.png" <-> image "<stem>.png"
+    ext_img = tmp_path / "ext"
+    ext_seg = tmp_path / "ext_seg"
+    ext_img.mkdir()
+    ext_seg.mkdir()
+    (ext_seg / "00001_segmentation.png").write_bytes(b"x")
+    pairs = tfrecords.pair_lsp_ext(str(ext_img), str(ext_seg))
+    assert pairs == [(str(ext_img / "00001.png"), str(ext_seg / "00001_segmentation.png"))]
+
+    # center = bbox center of visible keypoints
+    label = np.zeros((3, 14), np.float32)
+    label[0, :3] = [10, 30, 50]
+    label[1, :3] = [20, 60, 40]
+    label[2, :3] = 1.0
+    c = tfrecords.center_from_visible(label)
+    np.testing.assert_array_equal(c, [30, 40])
+
+
+def test_mpii_joint_remap_shape():
+    assert len(tfrecords.MPII_TO_LSP) == 14
+    assert len(set(tfrecords.MPII_TO_LSP)) == 14

@@ -94,10 +94,14 @@ def chamfer_loss(
     def scan_body(carry, chunk):
         best_sq, best_xy, l1_acc = carry
         pts, mask = chunk  # (N, C, 2), (N, C)
-        # Squared distances (N, C, V) for this chunk of gt pixels.
+        # Squared distances (N, C, V) for this chunk of gt pixels. The
+        # cross-term matmul must run in full f32 (precision='highest'):
+        # TPU's default bf16 matmul passes perturb distances enough to
+        # flip nearest-neighbor selections.
         d = (
             jnp.sum(pts**2, axis=-1)[..., None]
-            - 2.0 * jnp.einsum("ncx,nvx->ncv", pts, pred_points)
+            - 2.0
+            * jnp.einsum("ncx,nvx->ncv", pts, pred_points, precision="highest")
             + pred_sq[:, None, :]
         )
         # gt -> pred: L1 to the L2-argmin vertex, masked accumulate.

@@ -34,52 +34,65 @@ BIG = 1e30
 
 
 def _kernel(gt_ref, mask_ref, pred_ref, l1_ref, vmin_ref):
+    """Every intermediate is kept 2-D: Mosaic's vector layouts want
+    (sublane, lane) shapes — 1-D slices/reductions hit unsupported
+    relayouts. The input layouts are chosen so both broadcast operands
+    come out in the right orientation without any transpose:
+      gt   (1, C, 2) block -> gx = [:, 0:1] is (C, 1)
+      pred (1, 2, V) block -> px = [0:1, :] is (1, V)
+      mask (1, C, 1) block -> (C, 1)
+    """
     from jax.experimental import pallas as pl
 
     pt = pl.program_id(1)
 
-    gx = gt_ref[0, 0, :]  # (C,)
-    gy = gt_ref[0, 1, :]
-    px = pred_ref[0, 0, :]  # (V,)
-    py = pred_ref[0, 1, :]
-    mask = mask_ref[0, 0, :]  # (C,)
+    gx = gt_ref[0, :, 0:1]  # (C, 1)
+    gy = gt_ref[0, :, 1:2]
+    px = pred_ref[0, 0:1, :]  # (1, V)
+    py = pred_ref[0, 1:2, :]
+    mask = mask_ref[0, :, :]  # (C, 1)
 
-    dx = gx[:, None] - px[None, :]  # (C, V)
-    dy = gy[:, None] - py[None, :]
+    dx = gx - px  # (C, V)
+    dy = gy - py
     d = dx * dx + dy * dy
 
     # --- pred -> gt: running per-vertex min over masked pixels ----------
-    d_row_masked = jnp.where(mask[:, None] > 0, d, BIG)
-    tile_min = jnp.min(d_row_masked, axis=0)  # (V,)
+    d_row_masked = jnp.where(mask > 0, d, BIG)
+    tile_min = jnp.min(d_row_masked, axis=0, keepdims=True)  # (1, V)
 
     @pl.when(pt == 0)
     def _():
-        vmin_ref[0, 0, :] = tile_min
+        vmin_ref[0, :, :] = tile_min
 
     @pl.when(pt > 0)
     def _():
-        vmin_ref[0, 0, :] = jnp.minimum(vmin_ref[0, 0, :], tile_min)
+        vmin_ref[0, :, :] = jnp.minimum(vmin_ref[0, :, :], tile_min)
 
     # --- gt -> pred: L1 of the L2-nearest vertex, masked sum ------------
     dmin = jnp.min(d, axis=1, keepdims=True)  # (C, 1)
     l1 = jnp.abs(dx) + jnp.abs(dy)
-    l1_near = jnp.min(jnp.where(d <= dmin, l1, BIG), axis=1)  # (C,)
-    tile_l1 = jnp.sum(l1_near * mask)
+    l1_near = jnp.min(
+        jnp.where(d <= dmin, l1, BIG), axis=1, keepdims=True
+    )  # (C, 1)
+    tile_l1 = jnp.sum(l1_near * mask)  # full 2-D -> scalar reduce
 
+    # Scalar accumulation as a broadcast lane-vector store (scalar VMEM
+    # stores are rejected; sub-(8,128) 2-D output blocks as well, hence
+    # the (1, 1, 128) accumulator row).
     @pl.when(pt == 0)
     def _():
-        l1_ref[0, 0, 0] = tile_l1
+        l1_ref[0, :, :] = jnp.full((1, 128), tile_l1, dtype=jnp.float32)
 
     @pl.when(pt > 0)
     def _():
-        l1_ref[0, 0, 0] = l1_ref[0, 0, 0] + tile_l1
+        l1_ref[0, :, :] = l1_ref[0, :, :] + tile_l1
 
 
 def _chamfer_forward(
     gt_points: jax.Array,  # (N, P, 2)
     gt_mask: jax.Array,  # (N, P)
     pred_points: jax.Array,  # (N, V, 2)
-    chunk_size: int = 256,
+    chunk_size: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
     """(N,) unnormalized bidirectional chamfer distances (see
@@ -92,39 +105,39 @@ def _chamfer_forward(
     f32 = jnp.float32
 
     c = min(chunk_size, max(8, p))
+    c = ((c + 7) // 8) * 8  # sublane-aligned pixel tiles
     pad_p = (-p) % c
     vp = ((v + 127) // 128) * 128
 
-    gt_t = jnp.transpose(gt_points.astype(f32), (0, 2, 1))  # (N, 2, P)
-    gt_t = jnp.pad(gt_t, ((0, 0), (0, 0), (0, pad_p)))
-    # (N, 1, P): TPU lowering needs the last-two block dims aligned to
-    # (8, 128) or equal to the array dims — the singleton axis satisfies it.
-    mask_p = jnp.pad(gt_mask.astype(f32), ((0, 0), (0, pad_p)))[:, None, :]
+    # Layouts chosen for transpose-free 2-D broadcasting in the kernel:
+    # gt natural (N, P, 2); mask (N, P, 1); pred transposed (N, 2, V).
+    gt_p = jnp.pad(gt_points.astype(f32), ((0, 0), (0, pad_p), (0, 0)))
+    mask_p = jnp.pad(gt_mask.astype(f32), ((0, 0), (0, pad_p)))[:, :, None]
     pred_t = jnp.transpose(pred_points.astype(f32), (0, 2, 1))  # (N, 2, V)
     # padding vertices sit at BIG distance so they never win any minimum
     pred_t = jnp.pad(pred_t, ((0, 0), (0, 0), (0, vp - v)), constant_values=1e15)
 
-    num_pt = gt_t.shape[2] // c
+    num_pt = gt_p.shape[1] // c
     grid = (n, num_pt)
 
     l1_sum, vert_min = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2, c), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, 2), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, 1), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, vp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 1), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, vp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, 1, 1), f32),
+            jax.ShapeDtypeStruct((n, 1, 128), f32),
             jax.ShapeDtypeStruct((n, 1, vp), f32),
         ],
         interpret=interpret,
-    )(gt_t, mask_p, pred_t)
+    )(gt_p, mask_p, pred_t)
 
     has_gt = jnp.sum(gt_mask, axis=-1) > 0
     vmin = vert_min[:, 0, :v]
@@ -192,7 +205,7 @@ def _chamfer_grad_pred(gt_points, gt_mask, pred_points, cotangent, chunk_size=12
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def chamfer_pallas(gt_points, gt_mask, pred_points, chunk_size=256, interpret=False):
+def chamfer_pallas(gt_points, gt_mask, pred_points, chunk_size=128, interpret=False):
     return _chamfer_forward(gt_points, gt_mask, pred_points, chunk_size, interpret)
 
 

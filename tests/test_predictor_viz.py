@@ -145,3 +145,12 @@ def test_dataset_visualizers(tmp_path, tiny_model, rng):
         out_path=str(tmp_path / "m.png"),
     )
     assert os.path.exists(p2)
+
+
+def test_predict_uint8_matches_float(predictor, rng):
+    """uint8 serving path: device-side normalize == host normalize."""
+    raw = (rng.rand(2, 64, 64, 3) * 255).astype(np.uint8)
+    floats = raw.astype(np.float32) / 127.5 - 1.0
+    a = predictor.predict(raw)["generated_verts"]
+    b = predictor.predict(floats)["generated_verts"]
+    np.testing.assert_allclose(a, b, atol=1e-5)

@@ -22,7 +22,10 @@ def main():
         synthetic_model,
     )
 
-    batch = int(__import__("os").environ.get("BENCH_BATCH", "512"))
+    import os
+
+    default_batch = "512" if jax.default_backend() != "cpu" else "8"
+    batch = int(os.environ.get("BENCH_BATCH", default_batch))
     smpl = synthetic_model(num_verts=6890, seed=0)
     hmr = HMR(smpl, num_stage=3, joint_type="lsp", encoder_dtype=jnp.bfloat16)
     variables = hmr.init(jax.random.PRNGKey(0), img_size=224)

@@ -118,10 +118,11 @@ class ImagePipeline:
     """Image/seg/keypoint stream -> GenBatch iterator.
 
     mode='train': shuffle(10000) + repeat + augmentation (ref
-    src/trainer.py:154-159). mode='val': optional shuffle/repeat, and the
-    reference applies the same random augmentation to validation data
-    (ref read_data is shared, src/data_loader.py:87-93) — we keep that
-    behavior by default but expose augment=False for deterministic eval.
+    src/trainer.py:154-159). mode='val': deterministic by default (no
+    jitter/flip, no shuffle, single pass). Note the reference runs the
+    SAME random augmentation on validation data (read_data is shared,
+    src/data_loader.py:87-93); pass augment=True/shuffle=True/repeat=True
+    for that bug-compatible behavior.
     """
 
     def __init__(

@@ -104,18 +104,29 @@ def chamfer_loss(
             * jnp.einsum("ncx,nvx->ncv", pts, pred_points, precision="highest")
             + pred_sq[:, None, :]
         )
-        # gt -> pred: L1 to the L2-argmin vertex, masked accumulate.
-        idx = jnp.argmin(d, axis=-1)  # (N, C)
-        nearest = jnp.take_along_axis(pred_points, idx[..., None], axis=1)
-        l1 = jnp.sum(jnp.abs(pts - nearest), axis=-1) * mask
+        # All nearest-neighbor *selections* below use the masked-min trick
+        # (where(d == dmin, value, +inf) -> min) instead of argmin +
+        # take_along_axis: TPU lowers those gathers to serialized dynamic
+        # slices, which is catastrophic at (N, C, V) scale. Exact-tie
+        # selections pick the min value among ties (measure-zero diff).
+        # gt -> pred: L1 to the L2-nearest vertex, masked accumulate.
+        dmin_pix = jnp.min(d, axis=-1, keepdims=True)  # (N, C, 1)
+        l1v = jnp.sum(
+            jnp.abs(pts[:, :, None, :] - pred_points[:, None, :, :]), axis=-1
+        )  # (N, C, V)
+        l1 = jnp.min(jnp.where(d <= dmin_pix, l1v, big), axis=-1) * mask
         l1_acc = l1_acc + jnp.sum(l1, axis=-1)
         # pred -> gt: running min over masked gt pixels, tracking coords so
         # the final distance is an exact vector norm (not sqrt of a
         # cancellation-prone matrix entry).
         d_masked = jnp.where(mask[..., None] > 0, d, big)
         chunk_min = jnp.min(d_masked, axis=1)  # (N, V)
-        chunk_arg = jnp.argmin(d_masked, axis=1)  # (N, V)
-        chunk_xy = jnp.take_along_axis(pts, chunk_arg[..., None], axis=1)
+        is_min = d_masked <= chunk_min[:, None, :]  # (N, C, V)
+        chunk_x = jnp.min(
+            jnp.where(is_min, pts[:, :, 0:1], big), axis=1
+        )  # (N, V)
+        chunk_y = jnp.min(jnp.where(is_min, pts[:, :, 1:2], big), axis=1)
+        chunk_xy = jnp.stack([chunk_x, chunk_y], axis=-1)
         take_new = chunk_min < best_sq
         best_xy = jnp.where(take_new[..., None], chunk_xy, best_xy)
         best_sq = jnp.where(take_new, chunk_min, best_sq)

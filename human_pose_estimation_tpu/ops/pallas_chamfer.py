@@ -177,11 +177,15 @@ def _chamfer_grad_pred(gt_points, gt_mask, pred_points, cotangent, chunk_size=12
         assign = assign / jnp.maximum(jnp.sum(assign, axis=2, keepdims=True), 1.0)
         contrib = -jnp.sign(diff) * (assign * mask[:, :, None])[..., None]
         l1_grad = l1_grad + jnp.sum(contrib, axis=1)  # (N, V, 2)
-        # pred->gt: running nearest pixel per vertex
+        # pred->gt: running nearest pixel per vertex. Coordinate selection
+        # uses the masked-min trick instead of argmin + take_along_axis
+        # (TPU lowers such gathers to serialized dynamic slices).
         d_masked = jnp.where(mask[:, :, None] > 0, d, big)
-        tile_min = jnp.min(d_masked, axis=1)
-        tile_arg = jnp.argmin(d_masked, axis=1)
-        tile_xy = jnp.take_along_axis(pts, tile_arg[..., None], axis=1)
+        tile_min = jnp.min(d_masked, axis=1)  # (N, V)
+        is_min = d_masked <= tile_min[:, None, :]
+        tile_x = jnp.min(jnp.where(is_min, pts[:, :, 0:1], big), axis=1)
+        tile_y = jnp.min(jnp.where(is_min, pts[:, :, 1:2], big), axis=1)
+        tile_xy = jnp.stack([tile_x, tile_y], axis=-1)
         take = tile_min < vmin
         best_xy = jnp.where(take[..., None], tile_xy, best_xy)
         vmin = jnp.where(take, tile_min, vmin)

@@ -48,10 +48,20 @@ def num_examples(datasets) -> int:
 
 def record_files(data_dir: str, datasets: Sequence[str], split: str = "train"):
     """Resolve dataset names to tfrecord paths (ref get_all_files,
-    data_utils.py:83-106 — returning actual files, fixing quirk §8.2)."""
+    data_utils.py:83-106 — returning actual files, fixing quirk §8.2).
+
+    h36m and mpi_inf_3dhp use the reference's sharded directory layouts
+    (data_utils.py:94-100); everything else is '<name>.tfrecords'."""
     files: List[str] = []
     for name in datasets:
-        pattern = os.path.join(data_dir, f"{name}.tfrecords")
+        if name == "h36m":
+            pattern = os.path.join(
+                data_dir, "tf_records_human36m_wjoints", split, "*.tfrecords"
+            )
+        elif name == "mpi_inf_3dhp":
+            pattern = os.path.join(data_dir, "mpi_inf_3dhp", split, "*.tfrecords")
+        else:
+            pattern = os.path.join(data_dir, f"{name}.tfrecords")
         hits = sorted(glob(pattern))
         files += hits if hits else [pattern]
     return files

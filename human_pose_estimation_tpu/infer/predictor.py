@@ -38,9 +38,19 @@ class Predictor:
         variables=None,
         mean_theta=None,
         batch_size: Optional[int] = None,
+        data_parallel: bool = False,
     ):
+        """data_parallel=True serves over all local devices: the image
+        batch is sharded on dim 0 across a 1-D data mesh and the model is
+        replicated (multi-chip serving; batch_size should be a multiple
+        of the device count)."""
         self.config = config
         self.batch_size = batch_size or config.batch_size
+        self.mesh = None
+        if data_parallel:
+            from ..parallel import mesh as pmesh
+
+            self.mesh = pmesh.make_mesh(batch_size=self.batch_size)
         self.smpl = smpl if smpl is not None else load_model(config.smpl_model_path)
         dtype = jnp.bfloat16 if config.encoder_dtype == "bfloat16" else jnp.float32
         self.hmr = HMR(
@@ -98,7 +108,14 @@ class Predictor:
                 [images, np.zeros((b - n, *images.shape[1:]), images.dtype)],
                 axis=0,
             )
-        out = self._predict(jnp.asarray(images))
+        device_images = jnp.asarray(images)
+        if getattr(self, "mesh", None) is not None:
+            from ..parallel import mesh as pmesh
+
+            device_images = jax.device_put(
+                device_images, pmesh.batch_sharding(self.mesh)
+            )
+        out = self._predict(device_images)
         return {k: np.asarray(v)[:n] for k, v in out.items()}
 
     def predict_single_image(self, image) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -154,3 +154,30 @@ def test_predict_uint8_matches_float(predictor, rng):
     a = predictor.predict(raw)["generated_verts"]
     b = predictor.predict(floats)["generated_verts"]
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_predict_data_parallel_matches(predictor, rng, tmp_path_factory, request):
+    """DP serving (8-device CPU mesh) == single-device results."""
+    import jax
+    from human_pose_estimation_tpu.models.hmr import HMR
+    from human_pose_estimation_tpu.infer.predictor import Predictor
+    from human_pose_estimation_tpu.utils.assets import synthetic_mean_params
+    import jax.numpy as jnp
+
+    tiny = request.getfixturevalue("tiny_model")
+    p = Predictor.__new__(Predictor)
+    p.config = predictor.config
+    p.batch_size = 8
+    p.smpl = tiny
+    p.hmr = predictor.hmr
+    p.variables = predictor.variables
+    p.mean_theta = predictor.mean_theta
+    from human_pose_estimation_tpu.parallel import mesh as pmesh
+
+    p.mesh = pmesh.make_mesh(batch_size=8)
+    p._predict = jax.jit(p._predict_impl)
+
+    imgs = rng.rand(8, 64, 64, 3).astype(np.float32) * 2 - 1
+    a = p.predict(imgs)["generated_verts"]
+    b = predictor.predict(imgs)["generated_verts"]
+    np.testing.assert_allclose(a, b, atol=1e-4)

@@ -17,10 +17,12 @@ def main(argv=None) -> None:
 
     from ..core.smpl import load_model
     from ..data.pipeline import ImagePipeline, MocapPipeline
+    from ..parallel.mesh import maybe_initialize_distributed
     from ..train.trainer import Trainer
 
+    multihost = maybe_initialize_distributed()
     smpl = load_model(cfg.smpl_model_path)
-    train_pipe = ImagePipeline(cfg, mode="train")
+    train_pipe = ImagePipeline(cfg, mode="train", shard_by_host=multihost)
     val_pipe = (
         ImagePipeline(cfg, datasets=cfg.val_datasets, mode="val",
                       shuffle=True, repeat=True)

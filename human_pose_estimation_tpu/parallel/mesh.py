@@ -65,3 +65,24 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 
 def pad_to_multiple(n: int, k: int) -> int:
     return ((n + k - 1) // k) * k
+
+
+def maybe_initialize_distributed() -> bool:
+    """Initialize the multi-host JAX runtime when launched under a
+    multi-process coordinator (env-configured). Safe no-op single-host.
+
+    Returns True when running multi-host after the call.
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return True
+    if any(
+        k in os.environ
+        for k in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS")
+    ):
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # already initialized or misconfigured
+            print(f"[parallel] distributed init skipped: {e}")
+    return jax.process_count() > 1

@@ -146,6 +146,112 @@ def _chamfer_forward(
     return jnp.where(has_gt, l1 + l2, 0.0)
 
 
+def _bwd_kernel(gt_ref, mask_ref, pred_ref, l1gx_ref, l1gy_ref, vmin_ref, bx_ref, by_ref):
+    """Backward-pass streaming kernel (same tiling/layouts as _kernel).
+
+    Per pixel tile, accumulates the gt->pred L1 gradient columns
+    (tie-split assignment x -sign(diff)) and tracks the running
+    per-vertex nearest-pixel coordinates for the pred->gt L2 gradient —
+    all 2-D, gather-free.
+    """
+    from jax.experimental import pallas as pl
+
+    pt = pl.program_id(1)
+
+    gx = gt_ref[0, :, 0:1]  # (C, 1)
+    gy = gt_ref[0, :, 1:2]
+    px = pred_ref[0, 0:1, :]  # (1, V)
+    py = pred_ref[0, 1:2, :]
+    mask = mask_ref[0, :, :]  # (C, 1)
+
+    dx = gx - px  # (C, V) = g - p
+    dy = gy - py
+    d = dx * dx + dy * dy
+
+    # gt -> pred: tie-split nearest assignment, column-accumulated.
+    dmin = jnp.min(d, axis=1, keepdims=True)  # (C, 1)
+    ties = (d <= dmin).astype(jnp.float32)
+    cnt = jnp.sum(ties, axis=1, keepdims=True)
+    a = ties / jnp.maximum(cnt, 1.0) * mask  # (C, V)
+    tile_gx = jnp.sum(a * -jnp.sign(dx), axis=0, keepdims=True)  # (1, V)
+    tile_gy = jnp.sum(a * -jnp.sign(dy), axis=0, keepdims=True)
+
+    # pred -> gt: running masked min + coordinate selection.
+    d_masked = jnp.where(mask > 0, d, BIG)
+    tmin = jnp.min(d_masked, axis=0, keepdims=True)  # (1, V)
+    is_min = d_masked <= tmin
+    tx = jnp.min(jnp.where(is_min, gx, BIG), axis=0, keepdims=True)
+    ty = jnp.min(jnp.where(is_min, gy, BIG), axis=0, keepdims=True)
+
+    @pl.when(pt == 0)
+    def _():
+        l1gx_ref[0, :, :] = tile_gx
+        l1gy_ref[0, :, :] = tile_gy
+        vmin_ref[0, :, :] = tmin
+        bx_ref[0, :, :] = tx
+        by_ref[0, :, :] = ty
+
+    @pl.when(pt > 0)
+    def _():
+        l1gx_ref[0, :, :] = l1gx_ref[0, :, :] + tile_gx
+        l1gy_ref[0, :, :] = l1gy_ref[0, :, :] + tile_gy
+        take = tmin < vmin_ref[0, :, :]
+        bx_ref[0, :, :] = jnp.where(take, tx, bx_ref[0, :, :])
+        by_ref[0, :, :] = jnp.where(take, ty, by_ref[0, :, :])
+        vmin_ref[0, :, :] = jnp.minimum(vmin_ref[0, :, :], tmin)
+
+
+def _chamfer_grad_pred_pallas(
+    gt_points, gt_mask, pred_points, cotangent, chunk_size=128, interpret=False
+):
+    """Pallas-accelerated analytic gradient (see _chamfer_grad_pred for the
+    reference semantics; both match XLA autodiff up to tie handling)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, p, _ = gt_points.shape
+    v = pred_points.shape[1]
+    f32 = jnp.float32
+
+    c = min(chunk_size, max(8, p))
+    c = ((c + 7) // 8) * 8
+    pad_p = (-p) % c
+    vp = ((v + 127) // 128) * 128
+
+    gt_p = jnp.pad(gt_points.astype(f32), ((0, 0), (0, pad_p), (0, 0)))
+    mask_p = jnp.pad(gt_mask.astype(f32), ((0, 0), (0, pad_p)))[:, :, None]
+    pred_t = jnp.transpose(pred_points.astype(f32), (0, 2, 1))
+    pred_t = jnp.pad(pred_t, ((0, 0), (0, 0), (0, vp - v)), constant_values=1e15)
+
+    grid = (n, gt_p.shape[1] // c)
+    row_spec = pl.BlockSpec((1, 1, vp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM)
+    l1gx, l1gy, vmin, bx, by = pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, c, 2), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, 1), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, vp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[row_spec] * 5,
+        out_shape=[jax.ShapeDtypeStruct((n, 1, vp), f32)] * 5,
+        interpret=interpret,
+    )(gt_p, mask_p, pred_t)
+
+    l1_grad = jnp.stack([l1gx[:, 0, :v], l1gy[:, 0, :v]], axis=-1)  # (N, V, 2)
+    best_xy = jnp.stack([bx[:, 0, :v], by[:, 0, :v]], axis=-1)
+    vmin = vmin[:, 0, :v]
+
+    delta = pred_points - best_xy
+    norm = jnp.sqrt(jnp.sum(delta * delta, axis=-1, keepdims=True))
+    l2_grad = jnp.where(norm > 1e-12, delta / jnp.maximum(norm, 1e-12), 0.0)
+    l2_grad = jnp.where((vmin < BIG / 2)[..., None], l2_grad, 0.0)
+
+    has_gt = (jnp.sum(gt_mask, axis=-1) > 0).astype(jnp.float32)
+    scale = (cotangent * has_gt)[:, None, None]
+    return scale * (l1_grad + l2_grad)
+
+
 def _chamfer_grad_pred(gt_points, gt_mask, pred_points, cotangent, chunk_size=128):
     """Analytic d(chamfer)/d(pred_points), chunked over pixels.
 
@@ -220,7 +326,12 @@ def _chamfer_fwd(gt_points, gt_mask, pred_points, chunk_size, interpret):
 
 def _chamfer_bwd(chunk_size, interpret, residuals, cotangent):
     gt_points, gt_mask, pred_points = residuals
-    grad_pred = _chamfer_grad_pred(gt_points, gt_mask, pred_points, cotangent)
+    # The backward keeps more (C, V) intermediates live than the forward
+    # (assignment + two sign products); halve the pixel tile to fit VMEM.
+    grad_pred = _chamfer_grad_pred_pallas(
+        gt_points, gt_mask, pred_points, cotangent,
+        chunk_size=max(8, chunk_size // 2), interpret=interpret,
+    )
     return jnp.zeros_like(gt_points), jnp.zeros_like(gt_mask), grad_pred
 
 

@@ -84,6 +84,15 @@ class Config:
     profile_start_step: int = 10
     profile_end_step: int = 15
 
+    def __post_init__(self):
+        if self.data_format != "NHWC":
+            # The reference exposes NCHW for cuDNN (src/config.py:38,
+            # src/trainer.py:368-371); TPU/XLA is NHWC-native and the
+            # transpose would be pure overhead here.
+            raise ValueError("data_format must be 'NHWC' on TPU")
+        if self.joint_type not in ("cocoplus", "lsp"):
+            raise ValueError("joint_type must be 'cocoplus' or 'lsp'")
+
     @property
     def mean_params_path(self) -> str:
         if self.smpl_mean_params_path:

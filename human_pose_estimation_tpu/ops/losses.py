@@ -57,6 +57,11 @@ def chamfer_loss(
     """Bidirectional chamfer between padded gt pixel sets and predicted
     vertex projections, per batch element.
 
+    Subsumes the reference's find_nearest_neighbors + bidirectional_dist
+    helpers (src/ops.py:60-102): the distance matrix, both argmin
+    directions, and the two asymmetric reductions are fused into one
+    chunked streaming computation instead of three materialized passes.
+
     Asymmetric like the reference (src/ops.py:83-102): gt->pred uses the
     L1 distance to the (L2-)nearest predicted vertex; pred->gt uses the L2
     distance to the nearest gt pixel. Padded gt entries are excluded from

@@ -108,3 +108,12 @@ def test_pck_metric():
     err = float(mean_per_joint_error(jnp.asarray(gt), jnp.asarray(pred)))
     expect = (20.0 * np.sqrt(2) + np.sqrt(2)) / 14
     np.testing.assert_allclose(err, expect, rtol=1e-5)
+
+
+def test_config_validation():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        Config(data_format="NCHW")
+    with _pytest.raises(ValueError):
+        Config(joint_type="h36m")

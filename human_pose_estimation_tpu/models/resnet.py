@@ -69,25 +69,68 @@ class Bottleneck(nn.Module):
         return nn.relu(y + shortcut)
 
 
+def space_to_depth_2x2(x: jax.Array) -> jax.Array:
+    """(N, H, W, C) -> (N, H/2, W/2, 4C) with channel order (dy, dx, c)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+
+
+def conv1_kernel_to_s2d(w7: jax.Array) -> jax.Array:
+    """Exact rewrite of the 7x7/stride-2 stem kernel for a 2x2
+    space-to-depth input: (7, 7, C, F) -> (4, 4, 4C, F).
+
+    With the input transformed by space_to_depth_2x2 and padded (2, 1)
+    per spatial axis, a 4x4 stride-1 conv with this kernel produces
+    bit-identical outputs to pad-3 + 7x7 stride-2 on the raw image
+    (the MLPerf-style TPU stem optimization: stride-2 convs over
+    3-channel inputs waste the MXU; this trades them for a dense
+    stride-1 conv over 12 channels at half resolution).
+    """
+    c, f = w7.shape[2], w7.shape[3]
+    w8 = jnp.zeros((8, 8, c, f), w7.dtype).at[1:8, 1:8].set(w7)
+    # w'[a, b, (dy, dx, cc), f] = w8[2a + dy, 2b + dx, cc, f]
+    w = w8.reshape(4, 2, 4, 2, c, f).transpose(0, 2, 1, 3, 4, 5)
+    return w.reshape(4, 4, 4 * c, f)
+
+
 class ResNet(nn.Module):
-    """ResNet v1 backbone with an average-pool feature head."""
+    """ResNet v1 backbone with an average-pool feature head.
+
+    stem='s2d' uses the space-to-depth stem (mathematically exact
+    conv1 rewrite, see conv1_kernel_to_s2d); parameters stay in the
+    (4, 4, 4C, 64) layout, ported from 7x7 weights on demand."""
 
     stage_sizes: Sequence[int] = STAGE_SIZES[50]
     compute_dtype: Any = jnp.float32
+    stem: str = "standard"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.compute_dtype)
-        x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
-        x = nn.Conv(
-            64,
-            (7, 7),
-            strides=(2, 2),
-            padding="VALID",
-            use_bias=True,
-            dtype=self.compute_dtype,
-            name="conv1",
-        )(x)
+        if self.stem == "s2d":
+            x = space_to_depth_2x2(x)
+            x = jnp.pad(x, ((0, 0), (2, 1), (2, 1), (0, 0)))
+            x = nn.Conv(
+                64,
+                (4, 4),
+                strides=(1, 1),
+                padding="VALID",
+                use_bias=True,
+                dtype=self.compute_dtype,
+                name="conv1",
+            )(x)
+        else:
+            x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+            x = nn.Conv(
+                64,
+                (7, 7),
+                strides=(2, 2),
+                padding="VALID",
+                use_bias=True,
+                dtype=self.compute_dtype,
+                name="conv1",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
@@ -117,5 +160,17 @@ class ResNet(nn.Module):
         return x.astype(jnp.float32)
 
 
-def ResNet50(compute_dtype=jnp.float32) -> ResNet:
-    return ResNet(stage_sizes=STAGE_SIZES[50], compute_dtype=compute_dtype)
+def ResNet50(compute_dtype=jnp.float32, stem: str = "standard") -> ResNet:
+    return ResNet(
+        stage_sizes=STAGE_SIZES[50], compute_dtype=compute_dtype, stem=stem
+    )
+
+
+def convert_params_to_s2d(params):
+    """Rewrite a standard-stem parameter tree for stem='s2d' in place
+    (kernel transform only; everything else is shared)."""
+    new = dict(params)
+    conv1 = dict(new["conv1"])
+    conv1["kernel"] = conv1_kernel_to_s2d(jnp.asarray(conv1["kernel"]))
+    new["conv1"] = conv1
+    return new

@@ -39,3 +39,29 @@ def test_resnet_small_shapes():
     # param count ~23.6M (ResNet50 sans top)
     n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(variables["params"]))
     assert 23_000_000 < n_params < 26_000_000
+
+
+def test_s2d_stem_exactness():
+    """The space-to-depth stem is a mathematically exact rewrite of the
+    7x7/stride-2 stem: same features on the same (ported) weights."""
+    from human_pose_estimation_tpu.models.resnet import (
+        ResNet,
+        convert_params_to_s2d,
+    )
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1)
+    std = ResNet(stage_sizes=(1, 1, 1, 1))
+    variables = std.init(jax.random.PRNGKey(0), x)
+    out_std = std.apply(variables, x, train=False)
+
+    s2d = ResNet(stage_sizes=(1, 1, 1, 1), stem="s2d")
+    params_s2d = convert_params_to_s2d(dict(variables["params"]))
+    out_s2d = s2d.apply(
+        {"params": params_s2d, "batch_stats": variables["batch_stats"]},
+        x,
+        train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_std), np.asarray(out_s2d), atol=1e-5
+    )

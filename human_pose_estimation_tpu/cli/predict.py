@@ -13,7 +13,6 @@ size, and pushed through one executable.
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
 from glob import glob

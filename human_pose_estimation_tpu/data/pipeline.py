@@ -17,7 +17,6 @@ per step on device.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Iterator, Optional, Sequence
 
 import jax

@@ -8,7 +8,6 @@ of BASELINE.json.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -17,9 +16,7 @@ import numpy as np
 
 from ..config import Config
 from ..core.smpl import load_model
-from ..models.critic import Critic
 from ..models.hmr import HMR
-from ..utils import mean_params
 
 
 class Predictor:

@@ -10,7 +10,7 @@ first-class member of the generator params and is checkpointed.
 """
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any
 
 import jax
 import jax.numpy as jnp

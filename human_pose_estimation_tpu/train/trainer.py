@@ -23,7 +23,7 @@ from __future__ import annotations
 import datetime
 import os
 import time
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +40,7 @@ from ..utils.mean_params import load_mean_theta
 from ..utils.summary import SummaryWriter
 from ..ops.metrics import pck
 from .state import TrainState, create_train_state
-from .step import GenBatch, MocapBatch, make_train_step, make_val_step
+from .step import GenBatch, make_train_step, make_val_step
 
 
 class Trainer:

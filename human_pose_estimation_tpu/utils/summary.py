@@ -8,7 +8,7 @@ tensorboardX; degrades to an in-memory no-op recorder when unavailable
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

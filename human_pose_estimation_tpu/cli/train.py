@@ -22,7 +22,12 @@ def main(argv=None) -> None:
 
     multihost = maybe_initialize_distributed()
     smpl = load_model(cfg.smpl_model_path)
-    train_pipe = ImagePipeline(cfg, mode="train", shard_by_host=multihost)
+    train_pipe = ImagePipeline(
+        cfg,
+        mode="train",
+        shard_by_host=multihost,
+        device_preprocess=not cfg.fuse_preprocess,
+    )
     val_pipe = (
         ImagePipeline(cfg, datasets=cfg.val_datasets, mode="val",
                       shuffle=True, repeat=True)
@@ -30,7 +35,11 @@ def main(argv=None) -> None:
         else None
     )
     need_mocap = (not cfg.encoder_only) or cfg.do_bone_evaluation
-    mocap_pipe = MocapPipeline(cfg, smpl) if need_mocap else None
+    mocap_pipe = (
+        MocapPipeline(cfg, smpl, device_forward=not cfg.fuse_preprocess)
+        if need_mocap
+        else None
+    )
 
     trainer = Trainer(
         cfg,

@@ -80,6 +80,7 @@ class Config:
     seed: int = 0
     mesh_axis: str = "data"  # DP mesh axis name
     remat_encoder: bool = False  # jax.checkpoint the encoder in training
+    fuse_preprocess: bool = False  # augmentation + mocap SMPL inside the train step
     profile_dir: str = ""  # when set, capture a jax.profiler trace here
     profile_start_step: int = 10
     profile_end_step: int = 15

@@ -136,6 +136,7 @@ class ImagePipeline:
         repeat: Optional[bool] = None,
         seed: Optional[int] = None,
         shard_by_host: bool = False,
+        device_preprocess: bool = True,
     ):
         tf = _tf()
         self.cfg = cfg
@@ -155,7 +156,11 @@ class ImagePipeline:
         augment = (mode == "train") if augment is None else augment
         shuffle = (mode == "train") if shuffle is None else shuffle
         repeat = (mode == "train") if repeat is None else repeat
-        self.prep = DevicePreprocessor(cfg, augment=augment)
+        # device_preprocess=False yields raw HostBatch tuples for the fused
+        # train step (train/step.make_fused_train_step), which runs the
+        # augmentation inside the training program.
+        self.device_preprocess = device_preprocess
+        self.prep = DevicePreprocessor(cfg, augment=augment) if device_preprocess else None
         self.rng = jax.random.PRNGKey(cfg.seed if seed is None else seed)
 
         ds = tf.data.TFRecordDataset(self.files)
@@ -186,8 +191,22 @@ class ImagePipeline:
                     )
 
                 host_batch = {k: padded(v) for k, v in host_batch.items()}
-            rng = jax.random.fold_in(self.rng, step)
-            yield self.prep(host_batch, rng), n
+            if self.device_preprocess:
+                rng = jax.random.fold_in(self.rng, step)
+                yield self.prep(host_batch, rng), n
+            else:
+                from ..train.step import HostBatch
+
+                yield (
+                    HostBatch(
+                        image=host_batch["image"],
+                        seg=host_batch["seg"],
+                        hw=host_batch["hw"],
+                        center=host_batch["center"],
+                        label=host_batch["label"],
+                    ),
+                    n,
+                )
             step += 1
 
 
@@ -204,9 +223,13 @@ class MocapPipeline:
         smpl: SMPLModel,
         files: Optional[Sequence[str]] = None,
         shuffle: bool = True,
+        device_forward: bool = True,
     ):
         tf = _tf()
         self.batch = cfg.batch_size * cfg.num_stage
+        # device_forward=False yields raw (pose, shape) for the fused train
+        # step, which runs the SMPL forward inside the training program.
+        self.device_forward = device_forward
         if files is None:
             files = tfrecords.mocap_record_files(cfg.data_dir, cfg.mocap_datasets)
         if not files:
@@ -231,6 +254,9 @@ class MocapPipeline:
 
         self._fwd = jax.jit(to_mocap)
 
-    def __iter__(self) -> Iterator[MocapBatch]:
+    def __iter__(self):
         for pose, shape in self.ds.as_numpy_iterator():
-            yield self._fwd(jnp.asarray(pose), jnp.asarray(shape))
+            if self.device_forward:
+                yield self._fwd(jnp.asarray(pose), jnp.asarray(shape))
+            else:
+                yield jnp.asarray(pose), jnp.asarray(shape)

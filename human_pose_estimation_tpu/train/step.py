@@ -45,6 +45,18 @@ class GenBatch(NamedTuple):
     kp2d: jax.Array  # (N, 19, 3) [x, y, vis] in [-1, 1]
 
 
+class HostBatch(NamedTuple):
+    """Raw decoded examples as the host pipeline produced them (fixed
+    uint8 canvas + geometry); consumed by the fused train step, which
+    runs the augmentation on device inside the same program."""
+
+    image: jax.Array  # (N, Hc, Wc, 3) uint8
+    seg: jax.Array  # (N, Hc, Wc, 1) uint8
+    hw: jax.Array  # (N, 2) int32
+    center: jax.Array  # (N, 2) int32
+    label: jax.Array  # (N, 3, 19)
+
+
 class MocapBatch(NamedTuple):
     """Real samples for the critic (ref src/trainer.py:736-738)."""
 
@@ -270,3 +282,50 @@ def make_val_step(hmr, critic_def, cfg: Config):
         )
 
     return val_step
+
+
+def make_fused_train_step(hmr, critic_def, cfg: Config, smpl, augment: bool = True):
+    """One-dispatch training: preprocessing + mocap prior + both updates
+    in a SINGLE compiled program.
+
+    The default path runs three executables per step (device augmentation,
+    mocap SMPL forward, train step). Fusing them removes two host->device
+    dispatch boundaries and lets XLA schedule the augmentation matmuls and
+    the mocap body-model forward alongside the encoder — the TPU-idiomatic
+    endpoint of the host/device split (SURVEY.md §2: "device: everything
+    after decode, as one fused XLA program").
+
+    Signature: fused(state, host_batch: HostBatch,
+                     mocap_raw: Optional[(pose (M,72), shape (M,10))],
+                     rng) -> (state, metrics).
+    """
+    from ..core.smpl import smpl_forward
+    from ..data.augment import AugmentConfig, augment_batch, extract_silhouette
+
+    base = make_train_step(hmr, critic_def, cfg)
+    aug_cfg = AugmentConfig(
+        out_size=cfg.img_size,
+        trans_max=cfg.trans_max,
+        scale_min=cfg.scale_min,
+        scale_max=cfg.scale_max,
+        augment=augment,
+    )
+
+    def fused(state, host: HostBatch, mocap_raw, rng):
+        aug_rng = jax.random.fold_in(jax.random.fold_in(rng, 1), state.step)
+        crops, crop_segs, label = augment_batch(
+            host.image, host.seg, host.hw, host.center, host.label,
+            aug_rng, aug_cfg,
+        )
+        pts, mask = extract_silhouette(crop_segs, cfg.max_silhouette_points)
+        batch = GenBatch(images=crops, seg_points=pts, seg_mask=mask, kp2d=label)
+        mocap = None
+        if mocap_raw is not None:
+            pose, shape = mocap_raw
+            out = smpl_forward(smpl, shape, pose, joint_type="cocoplus")
+            mocap = MocapBatch(
+                joints=out.joints, shapes=shape, rotations=out.rotations[:, 1:]
+            )
+        return base(state, batch, mocap, rng)
+
+    return fused

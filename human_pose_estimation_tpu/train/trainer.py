@@ -88,9 +88,21 @@ class Trainer:
         )
         if self.mesh is not None:
             self.state = pmesh.replicate(self.state, self.mesh)
-        self.train_step = jax.jit(
-            make_train_step(self.hmr, self.critic, config), donate_argnums=(0,)
-        )
+        if config.fuse_preprocess:
+            # One dispatch per step: augmentation + mocap SMPL forward +
+            # both updates in a single program. Requires pipelines built
+            # with device_preprocess=False / device_forward=False.
+            from .step import make_fused_train_step
+
+            self.train_step = jax.jit(
+                make_fused_train_step(self.hmr, self.critic, config, self.smpl),
+                donate_argnums=(0,),
+            )
+        else:
+            self.train_step = jax.jit(
+                make_train_step(self.hmr, self.critic, config),
+                donate_argnums=(0,),
+            )
         self.val_step = jax.jit(make_val_step(self.hmr, self.critic, config))
 
         try:

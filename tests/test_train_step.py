@@ -180,3 +180,71 @@ def test_val_step(setup, rng):
     assert np.isfinite(np.asarray(out["kpr_losses"])).all()
     assert out["verts"].shape == (BATCH, 120, 3)
     assert out["pred_keypoints"].shape == (BATCH, 14, 2)
+
+
+def test_fused_step_matches_unfused(setup, rng):
+    """The one-dispatch fused step (deterministic preprocessing) must equal
+    preprocessing + SMPL-forward + step as separate programs."""
+    from human_pose_estimation_tpu.core.smpl import smpl_forward
+    from human_pose_estimation_tpu.data.augment import (
+        AugmentConfig,
+        augment_batch,
+        extract_silhouette,
+    )
+    from human_pose_estimation_tpu.train.step import (
+        HostBatch,
+        make_fused_train_step,
+    )
+
+    smpl, cfg, hmr, critic, state = setup
+    cfg2 = cfg.replace(max_silhouette_points=NSIL)
+    canvas = 96
+    n = BATCH
+    images = (rng.rand(n, canvas, canvas, 3) * 255).astype(np.uint8)
+    segs = ((rng.rand(n, canvas, canvas, 1) > 0.6) * 255).astype(np.uint8)
+    hw = np.tile(np.asarray([[80, 72]], np.int32), (n, 1))
+    centers = np.tile(np.asarray([[36, 40]], np.int32), (n, 1))
+    labels = rng.rand(n, 3, 19).astype(np.float32) * 60
+    labels[:, 2] = 1.0
+    host = HostBatch(
+        image=jnp.asarray(images),
+        seg=jnp.asarray(segs),
+        hw=jnp.asarray(hw),
+        center=jnp.asarray(centers),
+        label=jnp.asarray(labels),
+    )
+    pose = jnp.asarray(rng.randn(n * 3, 72).astype(np.float32) * 0.2)
+    shape = jnp.asarray(rng.randn(n * 3, 10).astype(np.float32) * 0.4)
+    key = jax.random.PRNGKey(3)
+
+    fused = jax.jit(make_fused_train_step(hmr, critic, cfg2, smpl, augment=False))
+    f_state, f_metrics = fused(state, host, (pose, shape), key)
+
+    # manual composition
+    aug_cfg = AugmentConfig(out_size=cfg2.img_size, augment=False)
+    crops, crop_segs, label = augment_batch(
+        host.image, host.seg, host.hw, host.center, host.label, None, aug_cfg
+    )
+    pts, mask = extract_silhouette(crop_segs, cfg2.max_silhouette_points)
+    batch = GenBatch(images=crops, seg_points=pts, seg_mask=mask, kp2d=label)
+    out = smpl_forward(smpl, shape, pose, joint_type="cocoplus")
+    mocap = MocapBatch(joints=out.joints, shapes=shape,
+                       rotations=out.rotations[:, 1:])
+    step = jax.jit(make_train_step(hmr, critic, cfg2))
+    u_state, u_metrics = step(state, batch, mocap, key)
+
+    np.testing.assert_allclose(
+        np.asarray(f_metrics.generator_loss),
+        np.asarray(u_metrics.generator_loss),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_metrics.critic_loss),
+        np.asarray(u_metrics.critic_loss),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_state.gen_params["mean_theta"]),
+        np.asarray(u_state.gen_params["mean_theta"]),
+        atol=1e-6,
+    )

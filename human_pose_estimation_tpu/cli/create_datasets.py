@@ -40,14 +40,31 @@ def main(argv=None) -> None:
     p.add_argument("--mpii_joints", default=None)
     p.add_argument("--train_count", type=int, default=1000,
                    help="LSP images used for train (rest -> val)")
+    p.add_argument("--format", choices=("tfrecord", "npz"), default="tfrecord",
+                   help="tfrecord = reference-compatible; npz = TF-free shards")
     args = p.parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
+
+    if args.format == "npz":
+        from ..data.npz_dataset import convert_images_to_npz_shard
+
+        def create(path, pairs, joints, visibility_inverted=False, joint_order=None):
+            j = np.asarray(joints, np.float32).copy()
+            if joint_order is not None:
+                j = j[:, list(joint_order), :]
+            if visibility_inverted:
+                j[2] = 1.0 - j[2]
+            return convert_images_to_npz_shard(
+                path.replace(".tfrecords", ".npz"), pairs, j
+            )
+    else:
+        create = tfrecords.create_image_tfrecord
 
     if args.lsp_dir:
         joints = _load_joints_mat(args.lsp_joints)
         pairs = tfrecords.pair_lsp(args.lsp_dir, args.lsp_seg_dir)
         k = args.train_count
-        n = tfrecords.create_image_tfrecord(
+        n = create(
             os.path.join(args.output_dir, "lsp_train.tfrecords"),
             pairs[:k],
             joints[:, :, :k],
@@ -55,7 +72,7 @@ def main(argv=None) -> None:
         )
         print(f"lsp_train: {n} examples")
         if len(pairs) > k:
-            n = tfrecords.create_image_tfrecord(
+            n = create(
                 os.path.join(args.output_dir, "lsp_val.tfrecords"),
                 pairs[k:],
                 joints[:, :, k:],
@@ -68,7 +85,7 @@ def main(argv=None) -> None:
         if joints.shape[0] == 14:  # LSP-ext ships (14, 3, N)
             joints = joints.transpose(1, 0, 2)
         pairs = tfrecords.pair_lsp_ext(args.lsp_ext_dir, args.lsp_ext_seg_dir)
-        n = tfrecords.create_image_tfrecord(
+        n = create(
             os.path.join(args.output_dir, "lsp_ext.tfrecords"),
             pairs,
             joints,
@@ -79,7 +96,7 @@ def main(argv=None) -> None:
     if args.mpii_dir:
         joints = _load_joints_mat(args.mpii_joints)
         pairs = tfrecords.pair_lsp_ext(args.mpii_dir, args.mpii_seg_dir)
-        n = tfrecords.create_image_tfrecord(
+        n = create(
             os.path.join(args.output_dir, "mpii.tfrecords"),
             pairs,
             joints,

@@ -152,3 +152,31 @@ def test_checkpoint_roundtrip_preserves_state(workdir):
         ).max()
         > 0
     )
+
+
+def test_profiler_trace_capture(workdir, tmp_path):
+    """Config.profile_dir captures a jax.profiler trace window during
+    training (SURVEY.md §5 tracing rebuild)."""
+    import glob as globmod
+
+    prof = str(tmp_path / "trace")
+    cfg = _config(
+        workdir,
+        profile_dir=prof,
+        profile_start_step=1,
+        profile_end_step=2,
+        checkpoint_dir=str(tmp_path / "ck"),
+        use_validation=False,
+    )
+    files = [os.path.join(workdir, "lsp_16.tfrecords")]
+    trainer = Trainer(
+        cfg,
+        dataset=ImagePipeline(cfg, files=files, mode="train", canvas=96),
+        val_dataset=None,
+        encoder_stage_sizes=(1, 1, 1, 1),
+    )
+    trainer.mocap_dataset = MocapPipeline(cfg, trainer.smpl, shuffle=False)
+    trainer.train(max_steps=3)
+    traces = globmod.glob(os.path.join(prof, "**", "*.trace.json.gz"), recursive=True)
+    traces += globmod.glob(os.path.join(prof, "**", "*.xplane.pb"), recursive=True)
+    assert traces, f"no trace files under {prof}"

@@ -16,27 +16,27 @@ def main(argv=None) -> None:
     save_config(cfg)
 
     from ..core.smpl import load_model
-    from ..data.pipeline import ImagePipeline, MocapPipeline
+    from ..data import make_image_pipeline, make_mocap_pipeline
     from ..parallel.mesh import maybe_initialize_distributed
     from ..train.trainer import Trainer
 
     multihost = maybe_initialize_distributed()
     smpl = load_model(cfg.smpl_model_path)
-    train_pipe = ImagePipeline(
+    train_pipe = make_image_pipeline(
         cfg,
         mode="train",
         shard_by_host=multihost,
         device_preprocess=not cfg.fuse_preprocess,
     )
     val_pipe = (
-        ImagePipeline(cfg, datasets=cfg.val_datasets, mode="val",
-                      shuffle=True, repeat=True)
+        make_image_pipeline(cfg, datasets=cfg.val_datasets, mode="val",
+                            shuffle=True, repeat=True)
         if cfg.use_validation
         else None
     )
     need_mocap = (not cfg.encoder_only) or cfg.do_bone_evaluation
     mocap_pipe = (
-        MocapPipeline(cfg, smpl, device_forward=not cfg.fuse_preprocess)
+        make_mocap_pipeline(cfg, smpl, device_forward=not cfg.fuse_preprocess)
         if need_mocap
         else None
     )

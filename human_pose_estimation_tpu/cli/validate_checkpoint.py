@@ -22,11 +22,11 @@ def main(argv=None) -> None:
     cfg = cfg.replace(use_mesh_repro_loss=True, use_kpr_loss=True)
 
     from ..core.smpl import load_model
-    from ..data.pipeline import ImagePipeline
+    from ..data import make_image_pipeline
     from ..train.trainer import Trainer
 
     smpl = load_model(cfg.smpl_model_path)
-    val_pipe = ImagePipeline(cfg, datasets=cfg.val_datasets, mode="val")
+    val_pipe = make_image_pipeline(cfg, datasets=cfg.val_datasets, mode="val")
     trainer = Trainer(
         cfg, val_dataset=val_pipe, validation_only=True, smpl=smpl
     )

@@ -174,3 +174,97 @@ class NpzImagePipeline:
                 step += 1
             if not self.repeat:
                 return
+
+
+# ---------------------------------------------------------------------------
+# Mocap prior stream (TF-free)
+# ---------------------------------------------------------------------------
+
+
+def write_mocap_npz_shard(out_path: str, pose: np.ndarray, shape: np.ndarray) -> int:
+    """Write a mocap shard: pose (N, 72) axis-angle, shape (N, 10) betas
+    (the same fields as the reference's mocap tfrecords,
+    ref src/util/data_utils.py:109-127)."""
+    pose = np.asarray(pose, np.float32)
+    shape = np.asarray(shape, np.float32)
+    assert pose.ndim == 2 and pose.shape[1] == 72, pose.shape
+    assert shape.shape == (pose.shape[0], 10), shape.shape
+    np.savez(out_path, pose=pose, shape=shape)
+    return pose.shape[0]
+
+
+def convert_mocap_tfrecords_to_npz(tfrecord_files, out_path: str) -> int:
+    """Migrate reference mocap tfrecords to a TF-free npz shard (one-time;
+    requires TensorFlow to read the source records)."""
+    import tensorflow as tf
+
+    from .tfrecords import parse_mocap_example_tf
+
+    poses, shapes = [], []
+    for raw in tf.data.TFRecordDataset(list(tfrecord_files)):
+        p, s = parse_mocap_example_tf(raw)
+        poses.append(p.numpy())
+        shapes.append(s.numpy())
+    return write_mocap_npz_shard(out_path, np.stack(poses), np.stack(shapes))
+
+
+class NpzMocapPipeline:
+    """TF-free mocap (pose, shape) stream -> MocapBatch via one batched
+    on-device SMPL forward (TF-free twin of data/pipeline.MocapPipeline;
+    replaces the reference's per-sample map-time SMPL forward,
+    ref src/data_loader.py:139-143). Repeats forever; batch size is
+    batch_size * num_stage to pair 1:1 with the concatenated 3-stage
+    fakes (ref src/trainer.py:163)."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        smpl,
+        files: Sequence[str],
+        shuffle: bool = True,
+        device_forward: bool = True,
+        seed: Optional[int] = None,
+    ):
+        import jax.numpy as jnp
+
+        from ..core.smpl import smpl_forward
+        from ..train.step import MocapBatch
+
+        poses, shapes = [], []
+        for path in files:
+            z = np.load(path)
+            poses.append(np.asarray(z["pose"], np.float32))
+            shapes.append(np.asarray(z["shape"], np.float32))
+        if not poses:
+            raise FileNotFoundError(f"no mocap npz shards in {list(files)}")
+        self.pose = np.concatenate(poses, axis=0)
+        self.shape = np.concatenate(shapes, axis=0)
+        self.batch = cfg.batch_size * cfg.num_stage
+        self.shuffle = shuffle
+        self.device_forward = device_forward
+        self.np_rng = np.random.RandomState(cfg.seed if seed is None else seed)
+
+        def to_mocap(pose, shape):
+            out = smpl_forward(smpl, shape, pose, joint_type="cocoplus")
+            return MocapBatch(
+                joints=out.joints, shapes=shape, rotations=out.rotations[:, 1:]
+            )
+
+        self._fwd = jax.jit(to_mocap)
+
+    def __iter__(self):
+        import jax.numpy as jnp
+
+        n = self.pose.shape[0]
+        while True:
+            order = np.arange(n)
+            if self.shuffle:
+                self.np_rng.shuffle(order)
+            for start in range(0, n - self.batch + 1, self.batch):
+                idx = order[start : start + self.batch]
+                pose = jnp.asarray(self.pose[idx])
+                shape = jnp.asarray(self.shape[idx])
+                if self.device_forward:
+                    yield self._fwd(pose, shape)
+                else:
+                    yield pose, shape

@@ -1,9 +1,14 @@
 """Native (C++) components, built on demand with the system toolchain.
 
-Currently: the mesh rasterizer (rasterizer.cpp) — the visualization-path
-native component (the reference relies on OpenDR's C++/OpenGL renderer
-for this role). Loaded through ctypes; callers fall back to the numpy
-implementation when no compiler is available.
+Two libraries, loaded through ctypes with lazy g++ builds; callers fall
+back to pure-Python implementations when no compiler is available:
+
+* ``rasterizer.cpp`` — the visualization-path native component (the
+  reference relies on OpenDR's C++/OpenGL renderer for this role,
+  ref src/util/renderer.py:12-14).
+* ``dataloader.cpp`` — multithreaded JPEG/PNG batch decode +
+  fit-to-canvas for the host half of the input pipeline (the role
+  tf.data's C++ runtime plays in the reference, ref train.py:35-40).
 """
 from __future__ import annotations
 
@@ -11,46 +16,52 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import Optional
+from typing import Optional, Sequence
 
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "rasterizer.cpp")
-_LIB = os.path.join(_DIR, "librasterizer.so")
 _lock = threading.Lock()
-_lib: Optional[ctypes.CDLL] = None
-_build_failed = False
+_libs = {}
+_failed = set()
 
 
-def _build() -> bool:
-    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
-        return True
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-        return True
-    except Exception:
-        return False
+def _load(name: str, extra_flags: Sequence[str] = ()) -> Optional[ctypes.CDLL]:
+    """Build (if stale) and dlopen native/<name>.cpp -> lib<name>.so."""
+    src = os.path.join(_DIR, f"{name}.cpp")
+    lib_path = os.path.join(_DIR, f"lib{name}.so")
+    with _lock:
+        if name in _libs:
+            return _libs[name]
+        if name in _failed:
+            return None
+        try:
+            if not (
+                os.path.exists(lib_path)
+                and os.path.getmtime(lib_path) >= os.path.getmtime(src)
+            ):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", src, "-o", lib_path]
+                    + list(extra_flags),
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            lib = ctypes.CDLL(lib_path)
+        except Exception:
+            _failed.add(name)
+            return None
+        _libs[name] = lib
+        return lib
 
 
 def get_rasterizer() -> Optional[ctypes.CDLL]:
     """The compiled rasterizer library, building it on first use.
     Returns None when compilation is unavailable (callers fall back)."""
-    global _lib, _build_failed
-    with _lock:
-        if _lib is not None:
-            return _lib
-        if _build_failed:
-            return None
-        if not _build():
-            _build_failed = True
-            return None
-        lib = ctypes.CDLL(_LIB)
+    lib = _load("rasterizer")
+    if lib is None:
+        return None
+    if not getattr(lib, "_hpe_configured", False):
         lib.rasterize_mesh.restype = None
         lib.rasterize_mesh.argtypes = [
             ctypes.POINTER(ctypes.c_double),  # verts
@@ -68,8 +79,8 @@ def get_rasterizer() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double),  # img
             ctypes.POINTER(ctypes.c_uint8),  # mask
         ]
-        _lib = lib
-        return _lib
+        lib._hpe_configured = True
+    return lib
 
 
 def rasterize_native(
@@ -118,3 +129,85 @@ def rasterize_native(
         mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return img, mask.astype(bool)
+
+
+def get_dataloader() -> Optional[ctypes.CDLL]:
+    """The compiled batch-decoder library (libjpeg + libpng), building it
+    on first use. Returns None when unavailable (callers fall back)."""
+    lib = _load("dataloader", extra_flags=["-ljpeg", "-lpng", "-lpthread"])
+    if lib is None:
+        return None
+    if not getattr(lib, "_hpe_configured", False):
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.hpe_decode_fit_batch.restype = ctypes.c_int
+        lib.hpe_decode_fit_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),  # jpeg_ptrs
+            ctypes.POINTER(ctypes.c_int64),  # jpeg_sizes
+            ctypes.POINTER(ctypes.c_void_p),  # png_ptrs
+            ctypes.POINTER(ctypes.c_int64),  # png_sizes
+            ctypes.c_int64,  # n
+            ctypes.c_int,  # canvas
+            u8p,  # out_img
+            u8p,  # out_seg
+            ctypes.POINTER(ctypes.c_int32),  # out_hw
+            ctypes.POINTER(ctypes.c_float),  # out_scale
+            ctypes.POINTER(ctypes.c_int32),  # out_err
+            ctypes.c_int,  # num_threads
+        ]
+        lib._hpe_configured = True
+    return lib
+
+
+def decode_fit_batch(
+    jpeg_bytes: Sequence[bytes],
+    png_bytes: Optional[Sequence[bytes]],
+    canvas: int,
+    num_threads: int = 0,
+):
+    """Decode a batch of JPEGs (+ optional segmentation PNGs) into fixed
+    uint8 canvases with the native multithreaded decoder.
+
+    Returns (img (N,C,C,3) u8, seg (N,C,C,1) u8, hw (N,2) i32 new dims,
+    orig_hw (N,2) i32 pre-fit dims, scale (N,2) f32 = (fy, fx),
+    err (N,) i32) or None when the native library is unavailable.
+    err[i] != 0 marks a failed example (its outputs are zeroed);
+    geometry matches data/npz_dataset._fit_to_canvas_np. For exact
+    label/center rescaling compute hw/orig_hw in float64 rather than
+    using the float32 `scale`.
+    """
+    lib = get_dataloader()
+    if lib is None:
+        return None
+    n = len(jpeg_bytes)
+    jb = [np.frombuffer(b, np.uint8) for b in jpeg_bytes]
+    jpeg_ptrs = (ctypes.c_void_p * n)(*[a.ctypes.data for a in jb])
+    jpeg_sizes = (ctypes.c_int64 * n)(*[a.size for a in jb])
+    if png_bytes is not None:
+        pb = [np.frombuffer(b, np.uint8) if b else np.zeros(0, np.uint8) for b in png_bytes]
+    else:
+        pb = [np.zeros(0, np.uint8)] * n
+    png_ptrs = (ctypes.c_void_p * n)(
+        *[a.ctypes.data if a.size else None for a in pb]
+    )
+    png_sizes = (ctypes.c_int64 * n)(*[a.size for a in pb])
+
+    img = np.zeros((n, canvas, canvas, 3), np.uint8)
+    seg = np.zeros((n, canvas, canvas, 1), np.uint8)
+    hw = np.zeros((n, 4), np.int32)
+    scale = np.zeros((n, 2), np.float32)
+    err = np.zeros(n, np.int32)
+    lib.hpe_decode_fit_batch(
+        jpeg_ptrs,
+        jpeg_sizes,
+        png_ptrs,
+        png_sizes,
+        n,
+        canvas,
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        seg.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        hw.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        scale.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        err.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        int(num_threads),
+    )
+    return img, seg, hw[:, :2].copy(), hw[:, 2:].copy(), scale, err

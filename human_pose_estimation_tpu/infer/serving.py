@@ -1,0 +1,118 @@
+"""Serving layer: request microbatching around the fused Predictor.
+
+The reference serves one frame at a time from a webcam loop
+(ref preview.py:70-123). A production TPU server instead wants requests
+from many clients coalesced into the Predictor's fixed compiled batch —
+one executable, no recompiles, the chip kept busy. This module provides
+that: a thread-safe `BatchingPredictor` that queues single-image
+requests, flushes a padded batch when it is full or when the oldest
+request has waited `max_latency_ms`, and resolves per-request futures.
+
+No external dependencies — plain threading; callers integrate it behind
+whatever RPC front-end they use.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Dict, Optional
+
+import numpy as np
+
+from .predictor import Predictor
+
+
+class BatchingPredictor:
+    """Microbatching front-end over a Predictor.
+
+    submit(image) -> Future resolving to the per-image result dict
+    (same keys as Predictor.predict, leading batch dim stripped).
+
+    * Batches flush when `batch_size` requests are queued OR the oldest
+      waiting request exceeds `max_latency_ms` (latency/throughput knob).
+    * All device work happens on one dispatcher thread: safe to call
+      submit() from many threads without serializing them on the chip.
+    """
+
+    def __init__(
+        self,
+        predictor: Predictor,
+        max_latency_ms: float = 5.0,
+        queue_capacity: int = 4096,
+    ):
+        self.predictor = predictor
+        self.batch_size = predictor.batch_size
+        self.max_latency = max_latency_ms / 1000.0
+        self._queue: queue.Queue = queue.Queue(maxsize=queue_capacity)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
+        self._thread.start()
+        # served/batches counters for autoscaling / monitoring
+        self.stats = {"requests": 0, "batches": 0, "padded_slots": 0}
+
+    # ----------------------------------------------------------- public
+    def submit(self, image: np.ndarray) -> "Future[Dict[str, np.ndarray]]":
+        """Enqueue one (H, W, 3) image (uint8 preferred); returns a Future."""
+        if self._stop.is_set():
+            raise RuntimeError("BatchingPredictor is closed")
+        fut: Future = Future()
+        self._queue.put((np.asarray(image), fut))
+        return fut
+
+    def predict_single_image(self, image) -> Dict[str, np.ndarray]:
+        """Blocking convenience wrapper (drop-in for light callers)."""
+        return self.submit(image).result()
+
+    def close(self, timeout: Optional[float] = 10.0) -> None:
+        """Flush outstanding requests and stop the dispatcher."""
+        self._stop.set()
+        self._thread.join(timeout=timeout)
+
+    # ------------------------------------------------------- dispatcher
+    def _collect(self):
+        """Block for the first request, then gather until the batch is
+        full or the first request's deadline passes."""
+        try:
+            first = self._queue.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        items = [first]
+        deadline = time.perf_counter() + self.max_latency
+        while len(items) < self.batch_size:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                items.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return items
+
+    def _dispatch_loop(self):
+        while True:
+            items = self._collect()
+            if not items:
+                if self._stop.is_set() and self._queue.empty():
+                    return
+                continue
+            images = np.stack([im for im, _ in items])
+            try:
+                out = self.predictor.predict(images)
+            except Exception as exc:  # propagate to every waiting caller
+                for _, fut in items:
+                    fut.set_exception(exc)
+                continue
+            self.stats["requests"] += len(items)
+            self.stats["batches"] += 1
+            self.stats["padded_slots"] += self.batch_size - len(items)
+            for i, (_, fut) in enumerate(items):
+                fut.set_result({k: v[i] for k, v in out.items()})
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False

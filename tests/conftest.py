@@ -22,6 +22,17 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's cost is dominated by XLA:CPU
+# compiles of the fused train-step programs (minutes each); caching them
+# makes re-runs of the suite fast. Safe across sessions — keys include
+# program, flags, and device topology.
+_CACHE = os.environ.get(
+    "HPE_TEST_COMPILATION_CACHE", os.path.expanduser("~/.cache/hpe_jax_test_cache")
+)
+if _CACHE:
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import sys
 
 import numpy as np

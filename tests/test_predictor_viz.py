@@ -181,3 +181,42 @@ def test_predict_data_parallel_matches(predictor, rng, tmp_path_factory, request
     a = p.predict(imgs)["generated_verts"]
     b = predictor.predict(imgs)["generated_verts"]
     np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_batching_predictor_microbatching(predictor):
+    """Serving microbatcher: concurrent submits coalesce into padded
+    batches, results match direct Predictor calls, close() flushes."""
+    import threading
+
+    from human_pose_estimation_tpu.infer.serving import BatchingPredictor
+
+    rng = np.random.RandomState(0)
+    images = (rng.rand(5, 64, 64, 3) * 255).astype(np.uint8)
+    direct = predictor.predict(images)
+
+    bp = BatchingPredictor(predictor, max_latency_ms=30.0)
+    futures = [None] * 5
+
+    def submit(i):
+        futures[i] = bp.submit(images[i])
+
+    threads = [threading.Thread(target=submit, args=(i,)) for i in range(5)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    results = [f.result(timeout=60) for f in futures]
+    for i, res in enumerate(results):
+        np.testing.assert_allclose(
+            res["generated_verts"], direct["generated_verts"][i], atol=1e-5
+        )
+    assert bp.stats["requests"] == 5
+    # batch_size=2 -> at least 3 device batches for 5 requests
+    assert bp.stats["batches"] >= 3
+    single = bp.predict_single_image(images[0])
+    np.testing.assert_allclose(
+        single["generated_verts"], direct["generated_verts"][0], atol=1e-5
+    )
+    bp.close()
+    with pytest.raises(RuntimeError):
+        bp.submit(images[0])

@@ -78,7 +78,7 @@ class Config:
     gp_mode: str = "reference"  # 'reference' | 'per_sample' (SURVEY.md §8.7)
     mr_scale_mode: str = "reference"  # 'reference' | 'count' (SURVEY.md §8.9)
     seed: int = 0
-    input_pipeline: str = "tfrecord"  # 'tfrecord' | 'npz' | 'native' (C++)
+    input_pipeline: str = "tfrecord"  # 'tfrecord' | 'npz' | 'native' (C++) | 'grain'
     mesh_axis: str = "data"  # DP mesh axis name
     remat_encoder: bool = False  # jax.checkpoint the encoder in training
     fuse_preprocess: bool = False  # augmentation + mocap SMPL inside the train step
@@ -94,9 +94,9 @@ class Config:
             raise ValueError("data_format must be 'NHWC' on TPU")
         if self.joint_type not in ("cocoplus", "lsp"):
             raise ValueError("joint_type must be 'cocoplus' or 'lsp'")
-        if self.input_pipeline not in ("tfrecord", "npz", "native"):
+        if self.input_pipeline not in ("tfrecord", "npz", "native", "grain"):
             raise ValueError(
-                "input_pipeline must be 'tfrecord', 'npz', or 'native'"
+                "input_pipeline must be 'tfrecord', 'npz', 'native', or 'grain'"
             )
 
     @property

@@ -10,7 +10,10 @@ src/data_loader.py DataLoader.load/load_val_dataset):
   (data/npz_dataset.NpzImagePipeline);
 * ``native``   — the framework's own C++ multithreaded decoder over the
   same npz shards with background prefetch
-  (data/native_pipeline.NativeImagePipeline).
+  (data/native_pipeline.NativeImagePipeline);
+* ``grain``    — grain.MapDataset over the npz shards: deterministic
+  per-epoch shuffle, multiprocess decode, checkpointable iterator state
+  (data/grain_pipeline.GrainImagePipeline).
 
 ``make_image_pipeline`` dispatches on ``Config.input_pipeline``.
 """
@@ -60,9 +63,14 @@ def make_image_pipeline(
         from .native_pipeline import NativeImagePipeline
 
         return NativeImagePipeline(cfg, files, mode=mode, **kw)
+    if cfg.input_pipeline == "grain":
+        from .grain_pipeline import GrainImagePipeline
+
+        kw.pop("device_preprocess", None)
+        return GrainImagePipeline(cfg, files, mode=mode, **kw)
     raise ValueError(
         f"unknown input_pipeline {cfg.input_pipeline!r} "
-        "(expected 'tfrecord', 'npz', or 'native')"
+        "(expected 'tfrecord', 'npz', 'native', or 'grain')"
     )
 
 

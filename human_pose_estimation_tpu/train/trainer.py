@@ -152,10 +152,23 @@ class Trainer:
         )
         if self.mesh is not None:
             self.state = pmesh.replicate(self.state, self.mesh)
+        # Resume the input stream too, when the pipeline supports it
+        # (grain); the reference restores weights only.
+        if step is not None and hasattr(self.dataset, "set_state"):
+            input_state = ckpt.restore_input_state(self.config.checkpoint_dir, step)
+            if input_state is not None:
+                self.dataset.set_state(input_state)
         return step
 
     def save(self) -> None:
-        ckpt.save_train_state(self.config.checkpoint_dir, self.state)
+        input_state = (
+            self.dataset.get_state()
+            if hasattr(self.dataset, "get_state")
+            else None
+        )
+        ckpt.save_train_state(
+            self.config.checkpoint_dir, self.state, input_state=input_state
+        )
 
     # ------------------------------------------------------------------
     def train(self, max_steps: Optional[int] = None) -> Dict[str, List[float]]:

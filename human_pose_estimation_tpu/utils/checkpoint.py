@@ -10,6 +10,7 @@ loses on resume (SURVEY.md §8 quirk 5).
 """
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Optional, Tuple
 
@@ -25,13 +26,54 @@ def _manager(directory: str, max_to_keep: int = 5) -> ocp.CheckpointManager:
     )
 
 
-def save_train_state(directory: str, state, step: Optional[int] = None) -> None:
-    """Save the full TrainState at the given step (default: state.step)."""
+def save_train_state(
+    directory: str,
+    state,
+    step: Optional[int] = None,
+    input_state: Optional[dict] = None,
+) -> None:
+    """Save the full TrainState at the given step (default: state.step).
+
+    ``input_state`` (a JSON-serializable dict, e.g. from
+    data.grain_pipeline.GrainImagePipeline.get_state) is stored beside
+    the step's checkpoint so training resume can replay the input stream
+    from the exact sample it stopped at — a capability the reference
+    lacks entirely (its tf.data iterator position is never saved,
+    ref src/trainer.py:719-721 restores weights only).
+    """
     step = int(state.step) if step is None else int(step)
     mgr = _manager(directory)
     mgr.save(step, args=ocp.args.StandardSave(state))
     mgr.wait_until_finished()
     mgr.close()
+    if input_state is not None:
+        path = _input_state_path(directory, step)
+        with open(path, "w") as f:
+            json.dump(input_state, f, default=_json_np)
+
+
+def _json_np(obj):
+    if isinstance(obj, np.integer):
+        return int(obj)
+    if isinstance(obj, np.floating):
+        return float(obj)
+    raise TypeError(f"input_state value not JSON-serializable: {type(obj)}")
+
+
+def _input_state_path(directory: str, step: int) -> str:
+    return os.path.join(os.path.abspath(directory), str(step), "input_state.json")
+
+
+def restore_input_state(directory: str, step: Optional[int] = None) -> Optional[dict]:
+    """Input-stream state saved at ``step`` (default latest); None if absent."""
+    step = latest_step(directory) if step is None else step
+    if step is None:
+        return None
+    path = _input_state_path(directory, step)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
 
 
 def latest_step(directory: str) -> Optional[int]:

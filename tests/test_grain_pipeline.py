@@ -101,3 +101,52 @@ def test_per_epoch_reshuffle(npz_shard):
     epoch2 = [np.asarray(next(it)[0].kp2d).tobytes() for _ in range(n)]
     assert sorted(epoch1) == sorted(epoch2)
     assert epoch1 != epoch2
+
+
+def test_trainer_checkpoint_includes_input_state(npz_shard, tmp_path, tiny_model):
+    """Trainer.save() persists the grain iterator position beside the
+    Orbax checkpoint; Trainer.restore() resumes the stream there."""
+    import os
+
+    from human_pose_estimation_tpu.core.smpl import save_model_npz
+    from human_pose_estimation_tpu.train.trainer import Trainer
+
+    path, n = npz_shard
+    model_path = str(tmp_path / "model.npz")
+    save_model_npz(tiny_model, model_path)
+    cfg = Config(
+        smpl_model_path=model_path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        batch_size=2,
+        img_size=56,
+        max_silhouette_points=128,
+        encoder_dtype="float32",
+        train_from_checkpoint=True,
+    )
+
+    def make_pipe():
+        return GrainImagePipeline(
+            cfg, [path], mode="train", canvas=96, seed=7, augment=False
+        )
+
+    pipe = make_pipe()
+    it = iter(pipe)
+    for _ in range(3):
+        next(it)
+    trainer = Trainer(
+        cfg, dataset=pipe, validation_only=True, encoder_stage_sizes=(1, 1, 1, 1)
+    )
+    trainer.save()
+    assert os.path.exists(
+        os.path.join(cfg.checkpoint_dir, "0", "input_state.json")
+    )
+    want, _ = next(it)  # the batch a resumed run must produce next
+
+    pipe2 = make_pipe()
+    trainer2 = Trainer(
+        cfg, dataset=pipe2, validation_only=True, encoder_stage_sizes=(1, 1, 1, 1)
+    )
+    assert trainer2.restore() == 0
+    got, _ = next(iter(pipe2))
+    np.testing.assert_array_equal(np.asarray(want.images), np.asarray(got.images))
+    np.testing.assert_array_equal(np.asarray(want.kp2d), np.asarray(got.kp2d))

@@ -220,3 +220,26 @@ def test_batching_predictor_microbatching(predictor):
     bp.close()
     with pytest.raises(RuntimeError):
         bp.submit(images[0])
+
+
+def test_export_roundtrip(predictor, rng, tmp_path):
+    """jax.export artifact: ExportedPredictor matches the live Predictor,
+    including tail padding and multi-execution for n > batch."""
+    from human_pose_estimation_tpu.infer.export import (
+        ExportedPredictor,
+        export_predictor,
+    )
+
+    path = str(tmp_path / "model.hlo")
+    meta = export_predictor(predictor, path, platforms=("cpu",))
+    assert meta["batch"] == predictor.batch_size
+    assert os.path.exists(path) and os.path.exists(path + ".json")
+
+    ep = ExportedPredictor(path)
+    imgs = (rng.rand(5, 64, 64, 3) * 255).astype(np.uint8)  # 5 > batch 2
+    got = ep.predict(imgs)
+    want = predictor.predict(imgs)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], atol=1e-5, err_msg=k)
+    v, c, j = ep.predict_single_image(imgs[0])
+    np.testing.assert_allclose(v[0], want["generated_verts"][0], atol=1e-5)

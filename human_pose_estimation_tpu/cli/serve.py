@@ -1,0 +1,55 @@
+"""HTTP model server: checkpoint (or exported artifact) -> REST endpoint.
+
+    python -m human_pose_estimation_tpu.cli.serve \
+        --checkpoint_dir ckpt --smpl_model_path models/model.npz \
+        --port 8000 [--artifact model.hlo] [--decode_size 224]
+
+POST an encoded image to /predict (returns an .npz of SMPL outputs, or
+JSON with Accept: application/json); GET /healthz for liveness + stats.
+Concurrent requests are microbatched onto the fixed compiled batch.
+"""
+from __future__ import annotations
+
+import argparse
+
+from ..config import parse_config
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(add_help=False)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--artifact", default=None,
+                   help="serve an exported .hlo artifact instead of a checkpoint")
+    p.add_argument("--decode_size", type=int, default=224,
+                   help="scale-and-crop uploads to this square size (0 = off)")
+    p.add_argument("--max_latency_ms", type=float, default=10.0)
+    args, rest = p.parse_known_args(argv)
+    cfg = parse_config(rest)
+
+    from ..infer.http_server import serve
+    from ..infer.serving import BatchingPredictor
+
+    if args.artifact:
+        from ..infer.export import ExportedPredictor
+
+        predictor = ExportedPredictor(args.artifact)
+    else:
+        from ..infer.predictor import Predictor
+
+        predictor = Predictor(cfg)
+    # Warm the compiled executable so the first request never waits on
+    # XLA compilation (a full padded batch through the real path).
+    import numpy as np
+
+    size = args.decode_size or cfg.img_size
+    warm = np.zeros((predictor.batch_size, size, size, 3), np.uint8)
+    predictor.predict(warm)
+    print("warmup compile done")
+
+    batcher = BatchingPredictor(predictor, max_latency_ms=args.max_latency_ms)
+    serve(batcher, args.host, args.port, decode_size=args.decode_size or None)
+
+
+if __name__ == "__main__":
+    main()

@@ -243,3 +243,66 @@ def test_export_roundtrip(predictor, rng, tmp_path):
         np.testing.assert_allclose(got[k], want[k], atol=1e-5, err_msg=k)
     v, c, j = ep.predict_single_image(imgs[0])
     np.testing.assert_allclose(v[0], want["generated_verts"][0], atol=1e-5)
+
+
+def test_http_server_endpoints(predictor):
+    """HTTP front-end: /predict (npz + JSON formats), /healthz, request
+    microbatching through BatchingPredictor."""
+    import io
+    import json as jsonlib
+    import threading
+    import urllib.request
+
+    cv2 = pytest.importorskip("cv2")
+    from human_pose_estimation_tpu.infer.http_server import make_server
+    from human_pose_estimation_tpu.infer.serving import BatchingPredictor
+
+    bp = BatchingPredictor(predictor, max_latency_ms=20.0)
+    httpd = make_server(bp, host="127.0.0.1", port=0, decode_size=64)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.RandomState(0)
+        img = (rng.rand(90, 70, 3) * 255).astype(np.uint8)
+        ok, enc = cv2.imencode(".jpg", img)
+        assert ok
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=enc.tobytes(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            assert resp.status == 200
+            z = np.load(io.BytesIO(resp.read()))
+            assert z["generated_verts"].shape == (120, 3)
+            assert np.isfinite(z["generated_verts"]).all()
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict",
+            data=enc.tobytes(),
+            method="POST",
+            headers={"Accept": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            body = jsonlib.loads(resp.read())
+            assert len(body["generated_cams"]) == 3
+            assert len(body["generated_joints"]) == 14
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=10
+        ) as resp:
+            health = jsonlib.loads(resp.read())
+            assert health["status"] == "ok" and health["requests"] >= 2
+
+        # bad input -> 400 with error JSON
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=b"not an image", method="POST"
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
+        bp.close()

@@ -99,7 +99,16 @@ class Predictor:
         if images.dtype != np.uint8:
             images = images.astype(np.float32)
         n = images.shape[0]
-        b = max(self.batch_size, n)
+        b = self.batch_size
+        if n > b:
+            # Chunk into executions of the one compiled batch rather than
+            # compiling a new executable per request size.
+            out: Dict[str, list] = {}
+            for s in range(0, n, b):
+                part = self.predict(images[s : s + b])
+                for k, v in part.items():
+                    out.setdefault(k, []).append(v)
+            return {k: np.concatenate(v) for k, v in out.items()}
         if images.shape[0] < b:
             images = np.concatenate(
                 [images, np.zeros((b - n, *images.shape[1:]), images.dtype)],

@@ -69,6 +69,14 @@ class BatchingPredictor:
         """Flush outstanding requests and stop the dispatcher."""
         self._stop.set()
         self._thread.join(timeout=timeout)
+        # A submit() racing the dispatcher's final empty-queue check could
+        # leave an unserved future behind; fail it rather than hang callers.
+        while True:
+            try:
+                _, fut = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            fut.set_exception(RuntimeError("BatchingPredictor closed"))
 
     # ------------------------------------------------------- dispatcher
     def _collect(self):

@@ -389,6 +389,7 @@ class Trainer:
         writer = self._writer("checkpoint_val")
 
         kpr_losses, mr_losses, pcks = [], [], []
+        gts, preds = [], []  # accumulated for PCK curve / AUC / per-joint
         best = {"val": np.inf, "batch": None, "out": None}
         worst = {"val": -np.inf, "batch": None, "out": None}
         step = 0
@@ -404,6 +405,8 @@ class Trainer:
                     pck(batch.kp2d[:n_valid, :k], out["pred_keypoints"][:n_valid])
                 )
             )
+            gts.append(np.asarray(batch.kp2d[:n_valid, :k]))
+            preds.append(np.asarray(out["pred_keypoints"][:n_valid]))
             combined = kpr + mr
             if draw_best_worst:
                 if combined < best["val"]:
@@ -423,7 +426,27 @@ class Trainer:
             "mean_mr_loss": float(np.mean(mr_losses)) if mr_losses else float("nan"),
             "pck@0.5": float(np.mean(pcks)) if pcks else float("nan"),
         }
+        if gts:
+            from ..ops.metrics import pck_auc, pck_curve, per_joint_pck
+
+            gt_all = np.concatenate(gts)
+            pred_all = np.concatenate(preds)
+            thresholds = (0.1, 0.2, 0.3, 0.4, 0.5)
+            curve = np.asarray(pck_curve(gt_all, pred_all, thresholds))
+            results.update(
+                {f"pck@{t}": float(v) for t, v in zip(thresholds, curve)}
+            )
+            results["pck_auc@0.5"] = float(pck_auc(gt_all, pred_all))
+            results["per_joint_pck@0.5"] = [
+                round(float(v), 4) for v in np.asarray(per_joint_pck(gt_all, pred_all))
+            ]
         print(f"average kpr_loss = {results['mean_kpr_loss']}")
         print(f"average mr_loss = {results['mean_mr_loss']}")
         print(f"PCK@0.5 = {results['pck@0.5']}")
+        if gts:
+            print(
+                "PCK curve "
+                + " ".join(f"@{t}={results[f'pck@{t}']:.3f}" for t in thresholds)
+                + f" | AUC@0.5={results['pck_auc@0.5']:.3f}"
+            )
         return results

@@ -117,3 +117,34 @@ def test_config_validation():
         Config(data_format="NCHW")
     with _pytest.raises(ValueError):
         Config(joint_type="h36m")
+
+
+def test_pck_curve_auc_per_joint():
+    """PCK curve is monotone and consistent with scalar pck; AUC in [0,1];
+    per-joint vector has one entry per joint."""
+    import jax.numpy as jnp
+
+    from human_pose_estimation_tpu.ops.metrics import (
+        pck,
+        pck_auc,
+        pck_curve,
+        per_joint_pck,
+    )
+
+    rng = np.random.RandomState(0)
+    gt = np.concatenate(
+        [rng.rand(8, 14, 2) * 100, np.ones((8, 14, 1))], axis=-1
+    ).astype(np.float32)
+    pred = gt[..., :2] + rng.randn(8, 14, 2).astype(np.float32) * 5
+
+    curve = np.asarray(pck_curve(gt, pred))
+    assert (np.diff(curve) >= 0).all()
+    assert abs(curve[-1] - float(pck(gt, pred, 0.5))) < 1e-6
+    auc = float(pck_auc(gt, pred))
+    assert 0.0 <= auc <= 1.0
+    # AUC is below the endpoint PCK (curve increases to it)
+    assert auc <= curve[-1] + 1e-6
+    pj = np.asarray(per_joint_pck(gt, pred))
+    assert pj.shape == (14,) and ((0 <= pj) & (pj <= 1)).all()
+    # perfect predictions -> all ones
+    assert np.asarray(pck_curve(gt, gt[..., :2]))[0] == 1.0

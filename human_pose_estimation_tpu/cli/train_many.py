@@ -20,7 +20,7 @@ def main(argv=None) -> None:
     base = parse_config(argv)
 
     from ..core.smpl import load_model
-    from ..data.pipeline import ImagePipeline, MocapPipeline
+    from ..data import make_image_pipeline, make_mocap_pipeline
     from ..train.trainer import Trainer
 
     smpl = load_model(base.smpl_model_path)
@@ -35,11 +35,15 @@ def main(argv=None) -> None:
         print(f"=== ablation {ab['suffix']} -> {cfg.model_dir} ===")
         trainer = Trainer(
             cfg,
-            dataset=ImagePipeline(cfg, mode="train"),
-            mocap_dataset=MocapPipeline(cfg, smpl),
+            dataset=make_image_pipeline(
+                cfg, mode="train", device_preprocess=not cfg.fuse_preprocess
+            ),
+            mocap_dataset=make_mocap_pipeline(
+                cfg, smpl, device_forward=not cfg.fuse_preprocess
+            ),
             val_dataset=(
-                ImagePipeline(cfg, datasets=cfg.val_datasets, mode="val",
-                              shuffle=True, repeat=True)
+                make_image_pipeline(cfg, datasets=cfg.val_datasets, mode="val",
+                                    shuffle=True, repeat=True)
                 if cfg.use_validation
                 else None
             ),

@@ -150,3 +150,31 @@ def test_trainer_checkpoint_includes_input_state(npz_shard, tmp_path, tiny_model
     got, _ = next(iter(pipe2))
     np.testing.assert_array_equal(np.asarray(want.images), np.asarray(got.images))
     np.testing.assert_array_equal(np.asarray(want.kp2d), np.asarray(got.kp2d))
+
+
+def test_make_image_pipeline_dispatch(npz_shard, tmp_path, monkeypatch):
+    """Config.input_pipeline routes to the right implementation; unknown
+    names are rejected."""
+    import shutil
+
+    from human_pose_estimation_tpu import data as data_mod
+    from human_pose_estimation_tpu.data.npz_dataset import NpzImagePipeline
+
+    path, n = npz_shard
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    shutil.copy(path, data_dir / "lsp_16.npz")
+
+    base = dict(
+        batch_size=2,
+        img_size=64,
+        max_silhouette_points=128,
+        data_dir=str(data_dir),
+        datasets=["lsp_16"],
+    )
+    p = data_mod.make_image_pipeline(Config(input_pipeline="grain", **base), mode="val")
+    assert isinstance(p, GrainImagePipeline)
+    p = data_mod.make_image_pipeline(Config(input_pipeline="npz", **base), mode="val")
+    assert isinstance(p, NpzImagePipeline)
+    with pytest.raises(ValueError):
+        Config(input_pipeline="bogus", **base)

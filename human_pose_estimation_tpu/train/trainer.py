@@ -179,9 +179,11 @@ class Trainer:
         accounting.
         """
         cfg = self.config
+        start_step = 0
         if cfg.train_from_checkpoint:
             restored = self.restore()
             print(f"restored checkpoint at step {restored}")
+            start_step = restored or 0
 
         rng = jax.random.PRNGKey(cfg.seed + 1)
         history = {"kpr": [], "mr": [], "gen_critic": [], "critic": []}
@@ -193,7 +195,7 @@ class Trainer:
         mocap_iter = iter(self.mocap_dataset) if self.mocap_dataset is not None else None
         need_mocap = not cfg.encoder_only or cfg.do_bone_evaluation
 
-        itr, epoch = 0, 0
+        itr, epoch, global_itr = 0, 0, 0
         t_epoch = time.time()
         t_step = time.time()
         for batch, _n in self.dataset:
@@ -202,7 +204,14 @@ class Trainer:
                 self.state, self._shard(batch), self._shard(mocap), rng
             )
             self.state = state
-            step = int(state.step)
+            # Host-side step counter (state.step mirrors it on device);
+            # reading it back would add a sync per step.
+            global_itr += 1
+            step = start_step + global_itr
+            # One device->host transfer for all step scalars: each float()
+            # on a device array is its own round trip, which dominates the
+            # loop on high-latency attachments.
+            metrics = jax.device_get(metrics)
 
             # -- profiling (SURVEY.md §5: jax.profiler trace + step timing)
             if cfg.profile_dir:
@@ -269,7 +278,9 @@ class Trainer:
                 except StopIteration:
                     val_iter = iter(self.val_dataset)
                     val_batch, _ = next(val_iter)
-                vout = self.val_step(self.state, self._shard(val_batch))
+                vout = jax.device_get(
+                    self.val_step(self.state, self._shard(val_batch))
+                )
                 if cfg.use_kpr_loss:
                     val_writer.scalar(
                         "generator/kpr_loss", float(vout["kpr_losses"][-1]), step

@@ -43,6 +43,10 @@ class Config:
     # --- training (ref src/config.py:57-69) --------------------------------
     validation_step_size: int = 50
     log_img_step: int = 1000
+    # Scalar-summary cadence. 1 = every step (reference behavior). Larger
+    # values skip the per-step device_get so the host dispatches steps
+    # back-to-back (async), hiding dispatch latency behind device compute.
+    scalar_log_step: int = 1
     epoch: int = 125
     batch_size: int = 8
     generator_lr: float = 1e-4

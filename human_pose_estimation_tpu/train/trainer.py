@@ -208,11 +208,6 @@ class Trainer:
             # reading it back would add a sync per step.
             global_itr += 1
             step = start_step + global_itr
-            # One device->host transfer for all step scalars: each float()
-            # on a device array is its own round trip, which dominates the
-            # loop on high-latency attachments.
-            metrics = jax.device_get(metrics)
-
             # -- profiling (SURVEY.md §5: jax.profiler trace + step timing)
             if cfg.profile_dir:
                 if step == cfg.profile_start_step:
@@ -220,22 +215,34 @@ class Trainer:
                 elif step == cfg.profile_end_step:
                     jax.block_until_ready(state.gen_params)
                     jax.profiler.stop_trace()
-            now = time.time()
-            train_writer.scalar("perf/step_time_ms", (now - t_step) * 1e3, step)
-            t_step = now
+
+            # Scalar cadence: reading metrics is ONE device->host transfer
+            # (each float() alone would be its own round trip), but even
+            # that sync caps throughput on high-latency attachments —
+            # scalar_log_step>1 skips whole iterations so the host
+            # dispatches steps back-to-back (async).
+            cadence = max(cfg.scalar_log_step, 1)
+            do_scalars = cadence == 1 or step % cadence == 0
+            if do_scalars:
+                metrics = jax.device_get(metrics)
+                now = time.time()
+                train_writer.scalar(
+                    "perf/step_time_ms", (now - t_step) * 1e3 / cadence, step
+                )
+                t_step = now
 
             # -- scalars (ref :747-783) --------------------------------
-            if cfg.use_kpr_loss:
+            if do_scalars and cfg.use_kpr_loss:
                 v = float(metrics.kpr_losses[-1])
                 train_writer.scalar("generator/kpr_loss", v, step)
                 history["kpr"].append(v)
                 epoch_acc["kpr"].append(v)
-            if cfg.use_mesh_repro_loss:
+            if do_scalars and cfg.use_mesh_repro_loss:
                 v = float(metrics.mr_losses[-1])
                 train_writer.scalar("generator/mr_loss", v, step)
                 history["mr"].append(v)
                 epoch_acc["mr"].append(v)
-            if cfg.do_bone_evaluation:
+            if do_scalars and cfg.do_bone_evaluation:
                 train_writer.scalar(
                     "bones/avg_total_bone_length_pred",
                     float(metrics.bone_length_pred),
@@ -246,7 +253,7 @@ class Trainer:
                     float(metrics.bone_length_gt),
                     step,
                 )
-            if not cfg.encoder_only:
+            if do_scalars and not cfg.encoder_only:
                 train_writer.scalar(
                     "critic/critic_network_loss", float(metrics.critic_loss), step
                 )

@@ -121,8 +121,10 @@ class Predictor:
             device_images = jax.device_put(
                 device_images, pmesh.batch_sharding(self.mesh)
             )
-        out = self._predict(device_images)
-        return {k: np.asarray(v)[:n] for k, v in out.items()}
+        # One device->host transfer for all outputs (per-key np.asarray
+        # would round-trip once per output through the attachment).
+        out = jax.device_get(self._predict(device_images))
+        return {k: v[:n] for k, v in out.items()}
 
     def predict_single_image(self, image) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(verts, cams, joints) for one (H, W, 3) image

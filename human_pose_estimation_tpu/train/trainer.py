@@ -412,7 +412,7 @@ class Trainer:
         worst = {"val": -np.inf, "batch": None, "out": None}
         step = 0
         for batch, n_valid in self.val_dataset:
-            out = self.val_step(self.state, self._shard(batch))
+            out = jax.device_get(self.val_step(self.state, self._shard(batch)))
             kpr = float(out["kpr_losses"][-1])
             mr = float(out["mr_losses"][-1])
             kpr_losses.append(kpr)

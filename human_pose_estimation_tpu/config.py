@@ -47,6 +47,10 @@ class Config:
     # values skip the per-step device_get so the host dispatches steps
     # back-to-back (async), hiding dispatch latency behind device compute.
     scalar_log_step: int = 1
+    # Train steps executed per device dispatch (lax.scan inside the jit).
+    # >1 amortizes dispatch latency over k steps; metrics come back
+    # stacked so per-step scalars are preserved. Bit-identical updates.
+    steps_per_call: int = 1
     epoch: int = 125
     batch_size: int = 8
     generator_lr: float = 1e-4

@@ -42,18 +42,21 @@ def make_mesh(
     return Mesh(np.asarray(devices), (axis,))
 
 
-def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
-    """Shard dim 0 (batch) over the data axis; trailing dims replicated."""
-    return NamedSharding(mesh, P(axis))
+def batch_sharding(
+    mesh: Mesh, axis: str = DATA_AXIS, dim: int = 0
+) -> NamedSharding:
+    """Shard ``dim`` (the batch dim) over the data axis; other dims
+    replicated. dim=1 serves stacked multi-step batches (leading k)."""
+    return NamedSharding(mesh, P(*([None] * dim), axis))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
-    """Place every array in a batch pytree with dim-0 sharded."""
-    sh = batch_sharding(mesh, axis)
+def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS, dim: int = 0) -> Any:
+    """Place every array in a batch pytree with the batch dim sharded."""
+    sh = batch_sharding(mesh, axis, dim)
     return jax.tree.map(lambda a: jax.device_put(a, sh), batch)
 
 

@@ -94,13 +94,15 @@ class Trainer:
             # with device_preprocess=False / device_forward=False.
             from .step import make_fused_train_step
 
-            self.train_step = jax.jit(
-                make_fused_train_step(self.hmr, self.critic, config, self.smpl),
-                donate_argnums=(0,),
-            )
+            step_fn = make_fused_train_step(self.hmr, self.critic, config, self.smpl)
         else:
-            self.train_step = jax.jit(
-                make_train_step(self.hmr, self.critic, config),
+            step_fn = make_train_step(self.hmr, self.critic, config)
+        self.train_step = jax.jit(step_fn, donate_argnums=(0,))
+        if config.steps_per_call > 1:
+            from .step import make_multi_step
+
+            self._multi_step = jax.jit(
+                make_multi_step(step_fn, config.steps_per_call),
                 donate_argnums=(0,),
             )
         self.val_step = jax.jit(make_val_step(self.hmr, self.critic, config))
@@ -140,10 +142,10 @@ class Trainer:
             )
         return self._renderer
 
-    def _shard(self, batch):
+    def _shard(self, batch, dim: int = 0):
         if self.mesh is None or batch is None:
             return batch
-        return pmesh.shard_batch(batch, self.mesh)
+        return pmesh.shard_batch(batch, self.mesh, dim=dim)
 
     # ------------------------------------------------------------------
     def restore(self) -> Optional[int]:
@@ -195,144 +197,189 @@ class Trainer:
         mocap_iter = iter(self.mocap_dataset) if self.mocap_dataset is not None else None
         need_mocap = not cfg.encoder_only or cfg.do_bone_evaluation
 
+        k = max(cfg.steps_per_call, 1)
+        data_iter = iter(self.dataset)
         itr, epoch, global_itr = 0, 0, 0
         t_epoch = time.time()
         t_step = time.time()
-        for batch, _n in self.dataset:
-            mocap = next(mocap_iter) if (mocap_iter is not None and need_mocap) else None
-            state, metrics = self.train_step(
-                self.state, self._shard(batch), self._shard(mocap), rng
-            )
-            self.state = state
-            # Host-side step counter (state.step mirrors it on device);
-            # reading it back would add a sync per step.
-            global_itr += 1
-            step = start_step + global_itr
-            # -- profiling (SURVEY.md §5: jax.profiler trace + step timing)
-            if cfg.profile_dir:
-                if step == cfg.profile_start_step:
-                    jax.profiler.start_trace(cfg.profile_dir)
-                elif step == cfg.profile_end_step:
-                    jax.block_until_ready(state.gen_params)
-                    jax.profiler.stop_trace()
-
-            # Scalar cadence: reading metrics is ONE device->host transfer
-            # (each float() alone would be its own round trip), but even
-            # that sync caps throughput on high-latency attachments —
-            # scalar_log_step>1 skips whole iterations so the host
-            # dispatches steps back-to-back (async).
-            cadence = max(cfg.scalar_log_step, 1)
-            do_scalars = cadence == 1 or step % cadence == 0
-            if do_scalars:
-                metrics = jax.device_get(metrics)
-                now = time.time()
-                train_writer.scalar(
-                    "perf/step_time_ms", (now - t_step) * 1e3 / cadence, step
-                )
-                t_step = now
-
-            # -- scalars (ref :747-783) --------------------------------
-            if do_scalars and cfg.use_kpr_loss:
-                v = float(metrics.kpr_losses[-1])
-                train_writer.scalar("generator/kpr_loss", v, step)
-                history["kpr"].append(v)
-                epoch_acc["kpr"].append(v)
-            if do_scalars and cfg.use_mesh_repro_loss:
-                v = float(metrics.mr_losses[-1])
-                train_writer.scalar("generator/mr_loss", v, step)
-                history["mr"].append(v)
-                epoch_acc["mr"].append(v)
-            if do_scalars and cfg.do_bone_evaluation:
-                train_writer.scalar(
-                    "bones/avg_total_bone_length_pred",
-                    float(metrics.bone_length_pred),
-                    step,
-                )
-                train_writer.scalar(
-                    "bones/avg_total_bone_length_gt",
-                    float(metrics.bone_length_gt),
-                    step,
-                )
-            if do_scalars and not cfg.encoder_only:
-                train_writer.scalar(
-                    "critic/critic_network_loss", float(metrics.critic_loss), step
-                )
-                train_writer.scalar(
-                    "critic/generator_critic_loss",
-                    float(metrics.gen_critic_losses[-1]),
-                    step,
-                )
-                train_writer.scalar(
-                    "critic/penalty", float(metrics.critic_penalty), step
-                )
-                history["critic"].append(float(metrics.critic_loss))
-                epoch_acc["critic"].append(float(metrics.critic_loss))
-                history["gen_critic"].append(float(metrics.gen_critic_losses[-1]))
-                epoch_acc["gen_critic"].append(float(metrics.gen_critic_losses[-1]))
-
-            # -- image summaries (ref :762-771) ------------------------
-            if cfg.log_img_step and step % cfg.log_img_step == 0:
-                self._log_images(train_writer, batch, step)
-
-            # -- validation every N steps (ref :791-815) ---------------
-            if (
-                cfg.use_validation
-                and val_iter is not None
-                and step % cfg.validation_step_size == 0
-            ):
-                try:
-                    val_batch, _ = next(val_iter)
-                except StopIteration:
-                    val_iter = iter(self.val_dataset)
-                    val_batch, _ = next(val_iter)
-                vout = jax.device_get(
-                    self.val_step(self.state, self._shard(val_batch))
-                )
-                if cfg.use_kpr_loss:
-                    val_writer.scalar(
-                        "generator/kpr_loss", float(vout["kpr_losses"][-1]), step
+        last_logged_step = start_step
+        stop = False
+        while not stop:
+            # -- gather this dispatch's batches ------------------------
+            try:
+                gathered = []
+                for _ in range(k):
+                    b, _n = next(data_iter)
+                    m = (
+                        next(mocap_iter)
+                        if (mocap_iter is not None and need_mocap)
+                        else None
                     )
-                if cfg.use_mesh_repro_loss:
-                    val_writer.scalar(
-                        "generator/mr_loss", float(vout["mr_losses"][-1]), step
-                    )
-                if cfg.log_img_step and step % cfg.log_img_step == 0:
-                    self._log_images(val_writer, val_batch, step, vout)
-
-            itr += 1
-            self._progress(epoch, itr)
-
-            # -- epoch boundary (ref :828-868) -------------------------
-            if itr >= self.num_itr_per_epoch:
-                itr = 0
-                epoch += 1
-                dt = time.time() - t_epoch
-                if epoch % cfg.checkpoint_every_epochs == 0:
-                    self.save()
-                msg = f"Finished epoch {epoch - 1}, average losses:"
-                for key, label in (
-                    ("kpr", "kpr"),
-                    ("mr", "mr"),
-                    ("gen_critic", "gc"),
-                    ("critic", "cn"),
-                ):
-                    if epoch_acc[key]:
-                        msg += f" {label}={np.mean(epoch_acc[key]):.2f}"
-                print(msg)
-                epoch_acc = {k: [] for k in epoch_acc}
-                if epoch >= cfg.epoch:
-                    break
-                eta = datetime.datetime.now() + datetime.timedelta(
-                    seconds=(cfg.epoch - epoch) * dt
-                )
-                print(
-                    f"Starting epoch {epoch} "
-                    f"({dt / 60:.2f} min/epoch, approx done {eta})"
-                )
-                t_epoch = time.time()
-
-            if max_steps is not None and step >= max_steps:
+                    gathered.append((b, m))
+            except StopIteration:
                 break
+            if k == 1:
+                batch, mocap = gathered[0]
+                state, metrics = self.train_step(
+                    self.state, self._shard(batch), self._shard(mocap), rng
+                )
+            else:
+                # Multi-step dispatch: ship k batches as separate inputs;
+                # the program stacks them and runs k updates under one
+                # lax.scan — amortizes dispatch latency; metrics come
+                # back stacked (k, ...).
+                state, metrics = self._multi_step(
+                    self.state,
+                    tuple(self._shard(g[0]) for g in gathered),
+                    (
+                        tuple(self._shard(g[1]) for g in gathered)
+                        if gathered[0][1] is not None
+                        else None
+                    ),
+                    rng,
+                )
+            self.state = state
+            got = None  # stacked metrics, transferred lazily (one round trip)
+
+            for j in range(k):
+                # Host-side step counter (state.step mirrors it on device;
+                # reading it back would add a sync per step).
+                global_itr += 1
+                step = start_step + global_itr
+
+                # -- profiling (SURVEY.md §5: jax.profiler trace + timing)
+                if cfg.profile_dir:
+                    if step == cfg.profile_start_step:
+                        jax.profiler.start_trace(cfg.profile_dir)
+                    elif step == cfg.profile_end_step:
+                        jax.block_until_ready(state.gen_params)
+                        jax.profiler.stop_trace()
+
+                # Scalar cadence: reading metrics is ONE device->host
+                # transfer per dispatch (each float() alone would be its
+                # own round trip); scalar_log_step>1 additionally skips
+                # transfers so steps dispatch back-to-back (async).
+                cadence = max(cfg.scalar_log_step, 1)
+                do_scalars = cadence == 1 or step % cadence == 0
+                if do_scalars:
+                    if got is None:
+                        got = jax.device_get(metrics)
+                    row = (
+                        jax.tree.map(lambda a: a[j], got) if k > 1 else got
+                    )
+                    now = time.time()
+                    train_writer.scalar(
+                        "perf/step_time_ms",
+                        (now - t_step) * 1e3 / max(step - last_logged_step, 1),
+                        step,
+                    )
+                    t_step = now
+                    last_logged_step = step
+
+                # -- scalars (ref :747-783) ----------------------------
+                if do_scalars and cfg.use_kpr_loss:
+                    v = float(row.kpr_losses[-1])
+                    train_writer.scalar("generator/kpr_loss", v, step)
+                    history["kpr"].append(v)
+                    epoch_acc["kpr"].append(v)
+                if do_scalars and cfg.use_mesh_repro_loss:
+                    v = float(row.mr_losses[-1])
+                    train_writer.scalar("generator/mr_loss", v, step)
+                    history["mr"].append(v)
+                    epoch_acc["mr"].append(v)
+                if do_scalars and cfg.do_bone_evaluation:
+                    train_writer.scalar(
+                        "bones/avg_total_bone_length_pred",
+                        float(row.bone_length_pred),
+                        step,
+                    )
+                    train_writer.scalar(
+                        "bones/avg_total_bone_length_gt",
+                        float(row.bone_length_gt),
+                        step,
+                    )
+                if do_scalars and not cfg.encoder_only:
+                    train_writer.scalar(
+                        "critic/critic_network_loss", float(row.critic_loss), step
+                    )
+                    train_writer.scalar(
+                        "critic/generator_critic_loss",
+                        float(row.gen_critic_losses[-1]),
+                        step,
+                    )
+                    train_writer.scalar(
+                        "critic/penalty", float(row.critic_penalty), step
+                    )
+                    history["critic"].append(float(row.critic_loss))
+                    epoch_acc["critic"].append(float(row.critic_loss))
+                    history["gen_critic"].append(float(row.gen_critic_losses[-1]))
+                    epoch_acc["gen_critic"].append(float(row.gen_critic_losses[-1]))
+
+                # -- image summaries (ref :762-771) --------------------
+                if cfg.log_img_step and step % cfg.log_img_step == 0:
+                    self._log_images(train_writer, gathered[j][0], step)
+
+                # -- validation every N steps (ref :791-815) -----------
+                if (
+                    cfg.use_validation
+                    and val_iter is not None
+                    and step % cfg.validation_step_size == 0
+                ):
+                    try:
+                        val_batch, _ = next(val_iter)
+                    except StopIteration:
+                        val_iter = iter(self.val_dataset)
+                        val_batch, _ = next(val_iter)
+                    vout = jax.device_get(
+                        self.val_step(self.state, self._shard(val_batch))
+                    )
+                    if cfg.use_kpr_loss:
+                        val_writer.scalar(
+                            "generator/kpr_loss", float(vout["kpr_losses"][-1]), step
+                        )
+                    if cfg.use_mesh_repro_loss:
+                        val_writer.scalar(
+                            "generator/mr_loss", float(vout["mr_losses"][-1]), step
+                        )
+                    if cfg.log_img_step and step % cfg.log_img_step == 0:
+                        self._log_images(val_writer, val_batch, step, vout)
+
+                itr += 1
+                self._progress(epoch, itr)
+
+                # -- epoch boundary (ref :828-868) ---------------------
+                if itr >= self.num_itr_per_epoch:
+                    itr = 0
+                    epoch += 1
+                    dt = time.time() - t_epoch
+                    if epoch % cfg.checkpoint_every_epochs == 0:
+                        self.save()
+                    msg = f"Finished epoch {epoch - 1}, average losses:"
+                    for key, label in (
+                        ("kpr", "kpr"),
+                        ("mr", "mr"),
+                        ("gen_critic", "gc"),
+                        ("critic", "cn"),
+                    ):
+                        if epoch_acc[key]:
+                            msg += f" {label}={np.mean(epoch_acc[key]):.2f}"
+                    print(msg)
+                    epoch_acc = {key: [] for key in epoch_acc}
+                    if epoch >= cfg.epoch:
+                        stop = True
+                        break
+                    eta = datetime.datetime.now() + datetime.timedelta(
+                        seconds=(cfg.epoch - epoch) * dt
+                    )
+                    print(
+                        f"Starting epoch {epoch} "
+                        f"({dt / 60:.2f} min/epoch, approx done {eta})"
+                    )
+                    t_epoch = time.time()
+
+                if max_steps is not None and step >= max_steps:
+                    stop = True
+                    break
 
         for w in self.writers.values():
             w.flush()

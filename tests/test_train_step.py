@@ -248,3 +248,60 @@ def test_fused_step_matches_unfused(setup, rng):
         np.asarray(u_state.gen_params["mean_theta"]),
         atol=1e-6,
     )
+
+
+def test_multi_step_matches_sequential(setup, rng):
+    """make_multi_step(k): one scanned dispatch == k sequential step
+    calls (same data, same PRNG-per-step via the state.step fold-in),
+    with stacked per-step metrics. Agreement is to float32 rounding:
+    XLA fuses the scanned body differently than the standalone jit."""
+    from human_pose_estimation_tpu.train.step import make_multi_step
+
+    smpl, cfg, hmr, critic, state = setup
+    step_fn = make_train_step(hmr, critic, cfg)
+    k = 3
+    data = [_batches(rng) for _ in range(k)]
+    key = jax.random.PRNGKey(7)
+
+    seq_state = state
+    seq_metrics = []
+    single = jax.jit(step_fn)
+    for gen, mocap in data:
+        seq_state, m = single(seq_state, gen, mocap, key)
+        seq_metrics.append(m)
+
+    multi = jax.jit(make_multi_step(step_fn, k))
+    multi_state, multi_metrics = multi(
+        state,
+        tuple(d[0] for d in data),
+        tuple(d[1] for d in data),
+        key,
+    )
+
+    assert int(multi_state.step) == int(seq_state.step)
+    # Params cannot discriminate here: Adam renormalizes, so float32
+    # fusion-order noise amplifies to ~lr-scale param drift either way.
+    # Per-step LOSSES are the discriminating signal — a wrong batch
+    # order / wrong per-step PRNG shifts them by O(1), while legitimate
+    # rounding drift stays ~1e-4 relative.
+    for j, m in enumerate(seq_metrics):
+        rtol = 1e-5 if j == 0 else 5e-3  # first step: identical inputs
+        np.testing.assert_allclose(
+            np.asarray(multi_metrics.kpr_losses[j]),
+            np.asarray(m.kpr_losses),
+            rtol=rtol,
+        )
+        np.testing.assert_allclose(
+            np.asarray(multi_metrics.critic_loss[j]),
+            np.asarray(m.critic_loss),
+            rtol=rtol,
+            atol=1e-4,
+        )
+    drift = jax.tree.leaves(
+        jax.tree.map(
+            lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+            multi_state.gen_params,
+            seq_state.gen_params,
+        )
+    )
+    assert max(drift) < 5e-3  # bounded by a few Adam steps of rounding

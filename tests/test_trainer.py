@@ -180,3 +180,28 @@ def test_profiler_trace_capture(workdir, tmp_path):
     traces = globmod.glob(os.path.join(prof, "**", "*.trace.json.gz"), recursive=True)
     traces += globmod.glob(os.path.join(prof, "**", "*.xplane.pb"), recursive=True)
     assert traces, f"no trace files under {prof}"
+
+
+def test_trainer_multi_step_dispatch(workdir):
+    """steps_per_call=2: the loop gathers 2 batches per device dispatch
+    (lax.scan inside one jit) and still logs per-step scalars."""
+    cfg = _config(
+        workdir,
+        steps_per_call=2,
+        checkpoint_dir=os.path.join(workdir, "ckpt_msd"),
+    )
+    files = [os.path.join(workdir, "lsp_16.tfrecords")]
+    train_pipe = ImagePipeline(cfg, files=files, mode="train", canvas=96)
+    trainer = Trainer(
+        cfg,
+        dataset=train_pipe,
+        mocap_dataset=None,
+        val_dataset=None,
+        encoder_stage_sizes=(1, 1, 1, 1),
+    )
+    trainer.mocap_dataset = MocapPipeline(cfg, trainer.smpl, shuffle=False)
+
+    history = trainer.train(max_steps=4)
+    assert len(history["kpr"]) == 4  # per-step scalars from stacked metrics
+    assert np.isfinite(history["kpr"]).all()
+    assert int(trainer.state.step) == 4

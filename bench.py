@@ -12,6 +12,14 @@ import time
 
 
 def main():
+    import os
+
+    # Persistent XLA compile cache: repeat bench runs skip the ~1-2 min
+    # first compile (keys include program + topology, safe to share).
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/hpe_jax_cache"),
+    )
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -22,7 +30,6 @@ def main():
         synthetic_model,
     )
 
-    import os
 
     default_batch = "512" if jax.default_backend() != "cpu" else "8"
     batch = int(os.environ.get("BENCH_BATCH", default_batch))

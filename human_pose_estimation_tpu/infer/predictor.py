@@ -36,13 +36,20 @@ class Predictor:
         mean_theta=None,
         batch_size: Optional[int] = None,
         data_parallel: bool = False,
+        outputs: Optional[Tuple[str, ...]] = None,
     ):
         """data_parallel=True serves over all local devices: the image
         batch is sharded on dim 0 across a 1-D data mesh and the model is
         replicated (multi-chip serving; batch_size should be a multiple
-        of the device count)."""
+        of the device count).
+
+        outputs: restrict the returned keys (e.g. ("generated_joints",
+        "generated_cams") for keypoint clients). Device->host transfer is
+        usually the serving bottleneck on remote-attached chips — the
+        6890-vertex mesh is ~80 KB/image, the joints ~200 bytes."""
         self.config = config
         self.batch_size = batch_size or config.batch_size
+        self.outputs = tuple(outputs) if outputs else None
         self.mesh = None
         if data_parallel:
             from ..parallel import mesh as pmesh
@@ -79,13 +86,17 @@ class Predictor:
             smpl_stages="last",
         )
         last = stages[-1]
-        return {
+        out = {
             "generated_verts": last.verts,
             "generated_cams": last.cam,
             "generated_joints": last.joints3d,
             "theta": last.theta,
             "kp2d": last.kp2d,
         }
+        wanted = getattr(self, "outputs", None)
+        if wanted is not None:
+            out = {k: out[k] for k in wanted}
+        return out
 
     def predict(self, images) -> Dict[str, np.ndarray]:
         """Predict on a (N, H, W, 3) image batch — float in [-1, 1], or

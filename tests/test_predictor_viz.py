@@ -306,3 +306,21 @@ def test_http_server_endpoints(predictor):
     finally:
         httpd.shutdown()
         bp.close()
+
+
+def test_predictor_outputs_filter(predictor, rng):
+    """outputs=(...) restricts returned keys (serving bandwidth knob)."""
+    import copy
+
+    p = copy.copy(predictor)
+    p.outputs = ("generated_joints", "generated_cams")
+    import jax
+
+    p._predict = jax.jit(p._predict_impl)
+    imgs = rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1
+    out = p.predict(imgs)
+    assert set(out) == {"generated_joints", "generated_cams"}
+    full = predictor.predict(imgs)
+    np.testing.assert_allclose(
+        out["generated_joints"], full["generated_joints"], atol=1e-6
+    )

@@ -24,6 +24,9 @@ def main(argv=None) -> None:
     p.add_argument("--decode_size", type=int, default=224,
                    help="scale-and-crop uploads to this square size (0 = off)")
     p.add_argument("--max_latency_ms", type=float, default=10.0)
+    p.add_argument("--outputs", default=None,
+                   help="restrict response keys, e.g. generated_joints,generated_cams "
+                        "(the 6890-vert mesh dominates response size)")
     args, rest = p.parse_known_args(argv)
     cfg = parse_config(rest)
 
@@ -37,7 +40,10 @@ def main(argv=None) -> None:
     else:
         from ..infer.predictor import Predictor
 
-        predictor = Predictor(cfg)
+        predictor = Predictor(
+            cfg,
+            outputs=tuple(args.outputs.split(",")) if args.outputs else None,
+        )
     # Warm the compiled executable so the first request never waits on
     # XLA compilation (a full padded batch through the real path).
     import numpy as np

@@ -90,9 +90,9 @@ def make_server(
             if "application/json" in (self.headers.get("Accept") or ""):
                 body = json.dumps(
                     {
-                        "generated_cams": result["generated_cams"].tolist(),
-                        "generated_joints": result["generated_joints"].tolist(),
-                        "theta": result["theta"].tolist(),
+                        k: result[k].tolist()
+                        for k in ("generated_cams", "generated_joints", "theta")
+                        if k in result
                     }
                 ).encode()
                 return self._send(200, body, "application/json")

@@ -17,6 +17,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Persistent XLA compile cache (same as bench.py): repeat runs skip the
+# multi-minute first compile of the serving batch through the relay.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/hpe_jax_cache")
+)
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -25,6 +31,9 @@ def main():
     ap.add_argument("--clients", default="8,64")
     ap.add_argument("--requests", type=int, default=256)
     ap.add_argument("--max_latency_ms", type=float, default=5.0)
+    ap.add_argument("--pipeline_depth", default="1",
+                    help="comma list sweeps depths in one process (fair "
+                         "comparison: relay latency varies run to run)")
     ap.add_argument("--outputs", default=None,
                     help="comma-separated output keys (e.g. generated_joints,generated_cams)")
     args = ap.parse_args()
@@ -62,8 +71,17 @@ def main():
     for _ in range(8):
         p.predict(np.stack([img] * args.batch))
 
-    for clients in [int(c) for c in args.clients.split(",")]:
-        bp = BatchingPredictor(p, max_latency_ms=args.max_latency_ms)
+    configs = [
+        (int(c), int(d))
+        for c in args.clients.split(",")
+        for d in str(args.pipeline_depth).split(",")
+    ]
+    for clients, depth in configs:
+        bp = BatchingPredictor(
+            p,
+            max_latency_ms=args.max_latency_ms,
+            pipeline_depth=depth,
+        )
         latencies = []
         lock = threading.Lock()
         per_client = args.requests // clients
@@ -97,6 +115,7 @@ def main():
                     "p99_ms": round(float(lat[min(int(n * 0.99), n - 1)]), 1),
                     "batches": bp.stats["batches"],
                     "outputs": args.outputs or "all",
+                    "pipeline_depth": depth,
                     "avg_fill": round(
                         1 - bp.stats["padded_slots"] / (bp.stats["batches"] * args.batch),
                         3,

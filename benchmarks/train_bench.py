@@ -19,6 +19,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Persistent XLA compile cache (same as bench.py): repeat runs skip the
+# multi-minute first compile of the step programs through the relay.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/hpe_jax_cache")
+)
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -24,6 +24,10 @@ def main(argv=None) -> None:
     p.add_argument("--decode_size", type=int, default=224,
                    help="scale-and-crop uploads to this square size (0 = off)")
     p.add_argument("--max_latency_ms", type=float, default=10.0)
+    p.add_argument("--pipeline_depth", type=int, default=1,
+                   help="batches kept in flight on the device; 2 overlaps "
+                        "host batch assembly + upload with compute on "
+                        "host-attached chips (neutral through a relay)")
     p.add_argument("--outputs", default=None,
                    help="restrict response keys, e.g. generated_joints,generated_cams "
                         "(the 6890-vert mesh dominates response size)")
@@ -53,7 +57,11 @@ def main(argv=None) -> None:
     predictor.predict(warm)
     print("warmup compile done")
 
-    batcher = BatchingPredictor(predictor, max_latency_ms=args.max_latency_ms)
+    batcher = BatchingPredictor(
+        predictor,
+        max_latency_ms=args.max_latency_ms,
+        pipeline_depth=args.pipeline_depth,
+    )
     serve(batcher, args.host, args.port, decode_size=args.decode_size or None)
 
 

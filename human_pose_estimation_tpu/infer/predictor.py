@@ -98,13 +98,15 @@ class Predictor:
             out = {k: out[k] for k in wanted}
         return out
 
-    def predict(self, images) -> Dict[str, np.ndarray]:
-        """Predict on a (N, H, W, 3) image batch — float in [-1, 1], or
-        uint8 (normalized on device; preferred for serving, 4x less
-        host->device traffic).
+    def predict_async(self, images):
+        """Dispatch ONE compiled batch (N <= batch_size) without waiting.
 
-        Pads N up to the compiled batch size so every call hits the same
-        executable (no recompiles in a serving loop).
+        Returns an opaque handle for `predict_fetch`. JAX dispatch is
+        asynchronous, so this returns once the upload + execution are
+        enqueued — a serving loop can overlap the next batch's host work
+        (collect/stack/upload) with this batch's device compute. The win
+        is largest on high-latency attachments, where upload, compute and
+        result download would otherwise serialize per batch.
         """
         images = np.asarray(images)
         if images.dtype != np.uint8:
@@ -112,15 +114,10 @@ class Predictor:
         n = images.shape[0]
         b = self.batch_size
         if n > b:
-            # Chunk into executions of the one compiled batch rather than
-            # compiling a new executable per request size.
-            out: Dict[str, list] = {}
-            for s in range(0, n, b):
-                part = self.predict(images[s : s + b])
-                for k, v in part.items():
-                    out.setdefault(k, []).append(v)
-            return {k: np.concatenate(v) for k, v in out.items()}
-        if images.shape[0] < b:
+            raise ValueError(
+                f"predict_async takes at most the compiled batch ({b}); got {n}"
+            )
+        if n < b:
             images = np.concatenate(
                 [images, np.zeros((b - n, *images.shape[1:]), images.dtype)],
                 axis=0,
@@ -132,10 +129,38 @@ class Predictor:
             device_images = jax.device_put(
                 device_images, pmesh.batch_sharding(self.mesh)
             )
-        # One device->host transfer for all outputs (per-key np.asarray
-        # would round-trip once per output through the attachment).
-        out = jax.device_get(self._predict(device_images))
+        return self._predict(device_images), n
+
+    def predict_fetch(self, handle) -> Dict[str, np.ndarray]:
+        """Block on a `predict_async` handle. One device->host transfer
+        for all outputs (per-key np.asarray would round-trip once per
+        output through the attachment)."""
+        out, n = handle
+        out = jax.device_get(out)
         return {k: v[:n] for k, v in out.items()}
+
+    def predict(self, images) -> Dict[str, np.ndarray]:
+        """Predict on a (N, H, W, 3) image batch — float in [-1, 1], or
+        uint8 (normalized on device; preferred for serving, 4x less
+        host->device traffic).
+
+        Pads N up to the compiled batch size so every call hits the same
+        executable (no recompiles in a serving loop). Oversized requests
+        chunk onto that batch; all chunks are dispatched before any
+        result is fetched, so their transfers overlap device compute.
+        """
+        images = np.asarray(images)
+        if images.dtype != np.uint8:
+            images = images.astype(np.float32)
+        n = images.shape[0]
+        b = self.batch_size
+        handles = [
+            self.predict_async(images[s : s + b]) for s in range(0, n, b)
+        ] or [self.predict_async(images)]  # n == 0: one padded batch
+        parts = [self.predict_fetch(h) for h in handles]
+        if len(parts) == 1:
+            return parts[0]
+        return {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
 
     def predict_single_image(self, image) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(verts, cams, joints) for one (H, W, 3) image

@@ -34,6 +34,15 @@ class BatchingPredictor:
       waiting request exceeds `max_latency_ms` (latency/throughput knob).
     * All device work happens on one dispatcher thread: safe to call
       submit() from many threads without serializing them on the chip.
+    * `pipeline_depth` batches are kept in flight (dispatched but not yet
+      fetched) when the predictor exposes predict_async/predict_fetch:
+      batch k+1's host work + upload can overlap batch k's device compute
+      on host-attached chips, where JAX dispatch is asynchronous. Depth 1
+      (default) is the strictly-serial loop. Measured on a relay-attached
+      chip the depths are throughput-neutral (the relay serializes
+      dispatches — PERF.md "Serving layer"), so only raise this on local
+      attachments. Results are still fetched eagerly whenever the request
+      queue is empty, so light load sees no added latency.
     """
 
     def __init__(
@@ -41,10 +50,12 @@ class BatchingPredictor:
         predictor: Predictor,
         max_latency_ms: float = 5.0,
         queue_capacity: int = 4096,
+        pipeline_depth: int = 1,
     ):
         self.predictor = predictor
         self.batch_size = predictor.batch_size
         self.max_latency = max_latency_ms / 1000.0
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self._queue: queue.Queue = queue.Queue(maxsize=queue_capacity)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
@@ -99,24 +110,54 @@ class BatchingPredictor:
         return items
 
     def _dispatch_loop(self):
-        while True:
-            items = self._collect()
-            if not items:
-                if self._stop.is_set() and self._queue.empty():
-                    return
-                continue
-            images = np.stack([im for im, _ in items])
+        # Predictors without the async API (e.g. ExportedPredictor) run
+        # blocking-at-fetch: same FIFO semantics, no overlap.
+        dispatch = getattr(self.predictor, "predict_async", None)
+        fetch = getattr(self.predictor, "predict_fetch", None)
+        if dispatch is None or fetch is None:
+            dispatch = lambda images: images  # noqa: E731
+            fetch = self.predictor.predict  # noqa: E731
+
+        from collections import deque
+
+        inflight: deque = deque()  # (handle, items) in dispatch order
+
+        def drain_oldest():
+            handle, items = inflight.popleft()
             try:
-                out = self.predictor.predict(images)
+                out = fetch(handle)
             except Exception as exc:  # propagate to every waiting caller
                 for _, fut in items:
                     fut.set_exception(exc)
-                continue
+                return
             self.stats["requests"] += len(items)
             self.stats["batches"] += 1
             self.stats["padded_slots"] += self.batch_size - len(items)
             for i, (_, fut) in enumerate(items):
                 fut.set_result({k: v[i] for k, v in out.items()})
+
+        while True:
+            # Fetch eagerly when idle (no latency added under light load)
+            # or when the pipeline is full.
+            while inflight and (
+                len(inflight) >= self.pipeline_depth or self._queue.empty()
+            ):
+                drain_oldest()
+            items = self._collect()
+            if not items:
+                if self._stop.is_set() and self._queue.empty():
+                    while inflight:
+                        drain_oldest()
+                    return
+                continue
+            images = np.stack([im for im, _ in items])
+            try:
+                handle = dispatch(images)
+            except Exception as exc:
+                for _, fut in items:
+                    fut.set_exception(exc)
+                continue
+            inflight.append((handle, items))
 
     def __enter__(self):
         return self

@@ -222,6 +222,70 @@ def test_batching_predictor_microbatching(predictor):
         bp.submit(images[0])
 
 
+def test_batching_predictor_pipelined(predictor):
+    """pipeline_depth > 1 keeps batches in flight but preserves exact
+    results and FIFO future resolution; a predictor without the async
+    API falls back to blocking fetches."""
+    import threading
+
+    from human_pose_estimation_tpu.infer.serving import BatchingPredictor
+
+    rng = np.random.RandomState(1)
+    images = (rng.rand(9, 64, 64, 3) * 255).astype(np.uint8)
+    direct = predictor.predict(images)
+
+    for depth in (1, 3):
+        bp = BatchingPredictor(predictor, max_latency_ms=10.0, pipeline_depth=depth)
+        futures = [None] * len(images)
+
+        def submit(i):
+            futures[i] = bp.submit(images[i])
+
+        threads = [threading.Thread(target=submit, args=(i,)) for i in range(len(images))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, f in enumerate(futures):
+            np.testing.assert_allclose(
+                f.result(timeout=60)["generated_verts"],
+                direct["generated_verts"][i],
+                atol=1e-5,
+            )
+        bp.close()
+        assert bp.stats["requests"] == len(images)
+
+    # Fallback: a predictor exposing only .predict (e.g. exported artifacts).
+    class BlockingOnly:
+        batch_size = predictor.batch_size
+
+        def predict(self, imgs):
+            return predictor.predict(imgs)
+
+    bp = BatchingPredictor(BlockingOnly(), max_latency_ms=10.0, pipeline_depth=2)
+    futs = [bp.submit(images[i]) for i in range(4)]
+    for i, f in enumerate(futs):
+        np.testing.assert_allclose(
+            f.result(timeout=60)["generated_verts"],
+            direct["generated_verts"][i],
+            atol=1e-5,
+        )
+    bp.close()
+
+
+def test_predict_async_fetch_matches(predictor, rng):
+    """predict_async + predict_fetch == predict, including tail padding."""
+    imgs = (rng.rand(1, 64, 64, 3) * 255).astype(np.uint8)
+    want = predictor.predict(imgs)
+    got = predictor.predict_fetch(predictor.predict_async(imgs))
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], atol=0, err_msg=k)
+    with pytest.raises(ValueError):
+        predictor.predict_async(
+            (rng.rand(predictor.batch_size + 1, 64, 64, 3) * 255).astype(np.uint8)
+        )
+
+
 def test_export_roundtrip(predictor, rng, tmp_path):
     """jax.export artifact: ExportedPredictor matches the live Predictor,
     including tail padding and multi-execution for n > batch."""

@@ -82,6 +82,7 @@ class Config:
 
     # --- TPU-native knobs (no reference equivalent) -------------------------
     encoder_dtype: str = "bfloat16"  # MXU-friendly conv/matmul compute dtype
+    encoder_depth: int = 50  # ResNet depth: 50 (reference) | 101 | 152
     max_silhouette_points: int = 2048  # padded gt pixel budget per image
     gp_mode: str = "reference"  # 'reference' | 'per_sample' (SURVEY.md §8.7)
     mr_scale_mode: str = "reference"  # 'reference' | 'count' (SURVEY.md §8.9)
@@ -106,6 +107,8 @@ class Config:
             raise ValueError(
                 "input_pipeline must be 'tfrecord', 'npz', 'native', or 'grain'"
             )
+        if self.encoder_depth not in (50, 101, 152):
+            raise ValueError("encoder_depth must be 50, 101, or 152")
 
     @property
     def mean_params_path(self) -> str:

@@ -62,6 +62,7 @@ class Predictor:
             num_stage=config.num_stage,
             joint_type=config.joint_type,
             encoder_dtype=dtype,
+            encoder_depth=config.encoder_depth,
         )
         if variables is None or mean_theta is None:
             from ..utils.checkpoint import restore_for_inference

@@ -76,12 +76,15 @@ class HMR:
         encoder_dtype: Any = jnp.float32,
         encoder_stage_sizes=None,
         remat_encoder: bool = False,
+        encoder_depth: int = 50,
     ):
         self.smpl = smpl
         self.num_stage = num_stage
         self.joint_type = joint_type
         if encoder_stage_sizes is None:
-            self.encoder = ResNet50(compute_dtype=encoder_dtype)
+            from .resnet import make_resnet
+
+            self.encoder = make_resnet(encoder_depth, compute_dtype=encoder_dtype)
         else:  # shallow encoder for tests; feature dim stays 2048
             from .resnet import ResNet
 

@@ -1,11 +1,12 @@
-"""Keras ResNet-50 -> Flax parameter port.
+"""Keras ResNet -> Flax parameter port.
 
 The reference initializes its encoder from Keras ImageNet weights
 (ref src/models.py:35-41). This tool maps ``keras.applications.ResNet50``
-weights (a live model or a weights .h5) onto models/resnet.py's parameter
-tree, giving (a) ImageNet initialization for training parity and (b) an
-exact-architecture oracle: ported weights must reproduce Keras outputs to
-float tolerance (tests/test_resnet_parity.py).
+(and the deeper ResNet101/152 variants, which share the layer-naming
+scheme) weights onto models/resnet.py's parameter tree, giving (a)
+ImageNet initialization for training parity and (b) an exact-architecture
+oracle: ported weights must reproduce Keras outputs to float tolerance
+(tests/test_resnet_parity.py).
 
 Keras layer name -> Flax module name:
   conv1_conv / conv1_bn                 -> conv1 / bn1
@@ -19,7 +20,13 @@ from typing import Any, Dict, Tuple
 
 import numpy as np
 
-STAGE_BLOCKS = {1: 3, 2: 4, 3: 6, 4: 3}
+STAGE_BLOCKS = {1: 3, 2: 4, 3: 6, 4: 3}  # ResNet-50
+
+DEPTH_STAGE_BLOCKS = {
+    50: {1: 3, 2: 4, 3: 6, 4: 3},
+    101: {1: 3, 2: 4, 3: 23, 4: 3},
+    152: {1: 3, 2: 8, 3: 36, 4: 3},
+}
 
 
 def _keras_weight_map(keras_model) -> Dict[str, list]:
@@ -28,6 +35,13 @@ def _keras_weight_map(keras_model) -> Dict[str, list]:
 
 def port_resnet50(keras_model) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Returns (params, batch_stats) pytrees for models.resnet.ResNet50."""
+    return port_resnet(keras_model, depth=50)
+
+
+def port_resnet(keras_model, depth: int = 50) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Port keras.applications.ResNet{50,101,152} weights (same layer
+    naming at every depth) onto models.resnet.make_resnet(depth)."""
+    stage_blocks = DEPTH_STAGE_BLOCKS[depth]
     w = _keras_weight_map(keras_model)
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
@@ -44,7 +58,7 @@ def port_resnet50(keras_model) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     put_conv("conv1", "conv1_conv")
     put_bn("bn1", "conv1_bn")
 
-    for stage, blocks in STAGE_BLOCKS.items():
+    for stage, blocks in stage_blocks.items():
         for b in range(1, blocks + 1):
             prefix = f"conv{stage + 1}_block{b}"
             mod = f"stage{stage}_block{b}"
@@ -81,7 +95,14 @@ def port_resnet50(keras_model) -> Tuple[Dict[str, Any], Dict[str, Any]]:
 def load_imagenet_resnet50(weights: str = "imagenet"):
     """Build the Keras reference model (requires TF; downloads weights
     unless a local .h5 path is given) and port it."""
-    from tensorflow.keras.applications import ResNet50 as KerasResNet50
+    return load_imagenet_resnet(depth=50, weights=weights)
 
-    keras_model = KerasResNet50(include_top=False, weights=weights, pooling="avg")
-    return port_resnet50(keras_model)
+
+def load_imagenet_resnet(depth: int = 50, weights: str = "imagenet"):
+    """Build keras.applications.ResNet{depth} (requires TF; downloads
+    weights unless a local .h5 path is given) and port it."""
+    from tensorflow.keras import applications as kapps
+
+    ctor = {50: kapps.ResNet50, 101: kapps.ResNet101, 152: kapps.ResNet152}[depth]
+    keras_model = ctor(include_top=False, weights=weights, pooling="avg")
+    return port_resnet(keras_model, depth=depth)

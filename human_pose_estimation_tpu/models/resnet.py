@@ -166,6 +166,17 @@ def ResNet50(compute_dtype=jnp.float32, stem: str = "standard") -> ResNet:
     )
 
 
+def make_resnet(depth: int = 50, compute_dtype=jnp.float32, stem: str = "standard") -> ResNet:
+    """ResNet-{50,101,152} v1 encoder (Keras-compatible layout at every
+    depth, so keras.applications.ResNet{101,152} weights port the same way
+    as ResNet-50 — models/port_keras.py)."""
+    if depth not in STAGE_SIZES:
+        raise ValueError(f"encoder depth must be one of {sorted(STAGE_SIZES)}")
+    return ResNet(
+        stage_sizes=STAGE_SIZES[depth], compute_dtype=compute_dtype, stem=stem
+    )
+
+
 def convert_params_to_s2d(params):
     """Rewrite a standard-stem parameter tree for stem='s2d' in place
     (kernel transform only; everything else is shared)."""

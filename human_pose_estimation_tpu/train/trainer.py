@@ -70,6 +70,7 @@ class Trainer:
             encoder_dtype=dtype,
             encoder_stage_sizes=encoder_stage_sizes,
             remat_encoder=config.remat_encoder,
+            encoder_depth=config.encoder_depth,
         )
         self.critic = Critic()
         mean_theta = load_mean_theta(config.mean_params_path)

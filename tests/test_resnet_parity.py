@@ -41,6 +41,47 @@ def test_resnet_small_shapes():
     assert 23_000_000 < n_params < 26_000_000
 
 
+@pytest.mark.slow
+def test_resnet101_matches_keras():
+    """The deeper encoder variants share the port path; verify the
+    block-count table against Keras ResNet101 end to end."""
+    tf = pytest.importorskip("tensorflow")
+    from tensorflow.keras.applications import ResNet101 as KerasResNet101
+
+    from human_pose_estimation_tpu.models.port_keras import port_resnet
+    from human_pose_estimation_tpu.models.resnet import make_resnet
+
+    keras_model = KerasResNet101(include_top=False, weights=None, pooling="avg")
+    params, stats = port_resnet(keras_model, depth=101)
+
+    model = make_resnet(101)
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 224, 224, 3).astype(np.float32) * 2 - 1
+    ours = model.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x), train=False
+    )
+    theirs = keras_model(tf.constant(x), training=False).numpy()
+    assert ours.shape == theirs.shape == (2, 2048)
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-4, rtol=1e-3)
+
+
+def test_make_resnet_depths():
+    from human_pose_estimation_tpu.models.resnet import make_resnet
+
+    expected = {50: (23e6, 26e6), 101: (42e6, 45e6), 152: (58e6, 61e6)}
+    for depth, (lo, hi) in expected.items():
+        model = make_resnet(depth)
+        variables = jax.eval_shape(
+            lambda m=model: m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        )
+        n_params = sum(
+            np.prod(p.shape) for p in jax.tree.leaves(variables["params"])
+        )
+        assert lo < n_params < hi, (depth, n_params)
+    with pytest.raises(ValueError):
+        make_resnet(34)
+
+
 def test_s2d_stem_exactness():
     """The space-to-depth stem is a mathematically exact rewrite of the
     7x7/stride-2 stem: same features on the same (ported) weights."""

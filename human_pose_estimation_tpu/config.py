@@ -86,6 +86,12 @@ class Config:
     max_silhouette_points: int = 2048  # padded gt pixel budget per image
     gp_mode: str = "reference"  # 'reference' | 'per_sample' (SURVEY.md §8.7)
     mr_scale_mode: str = "reference"  # 'reference' | 'count' (SURVEY.md §8.9)
+    # Which IEF stages get the (expensive) chamfer mesh-loss evaluated.
+    # 'all' = reference parity: per-stage TB scalars (ref src/trainer.py:436-450).
+    # 'last' = only the final stage — the only one in the generator
+    # objective (ref src/trainer.py:487-496); earlier stages log 0. Cuts
+    # ~30% off the full-hybrid step (PERF.md "Mesh-loss metric stages").
+    mr_metric_stages: str = "all"  # 'all' | 'last'
     seed: int = 0
     input_pipeline: str = "tfrecord"  # 'tfrecord' | 'npz' | 'native' (C++) | 'grain'
     mesh_axis: str = "data"  # DP mesh axis name
@@ -109,6 +115,8 @@ class Config:
             )
         if self.encoder_depth not in (50, 101, 152):
             raise ValueError("encoder_depth must be 50, 101, or 152")
+        if self.mr_metric_stages not in ("all", "last"):
+            raise ValueError("mr_metric_stages must be 'all' or 'last'")
 
     @property
     def mean_params_path(self) -> str:

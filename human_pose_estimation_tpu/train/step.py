@@ -81,13 +81,17 @@ def _stage_losses(stages, batch: GenBatch, critic_apply, critic_params, c_matrix
     """Per-stage losses (all stages, like the reference; only the last
     enters the generator objective)."""
     kpr, mr, gcl = [], [], []
-    for s in stages:
+    for i, s in enumerate(stages):
         # gt labels carry 19 cocoplus points (14 + 5 face); with a 14-joint
         # LSP head we compare the first 14 — identical loss, since the face
         # points have zero visibility on LSP data (SURVEY.md §8 quirk 6).
         kp_gt = batch.kp2d[:, : s.kp2d.shape[1]]
         kpr.append(cfg.kpr_loss_weight * L.keypoint_reprojection_loss(kp_gt, s.kp2d))
-        if cfg.use_mesh_repro_loss:
+        # Early-stage mesh losses are metrics only (the generator objective
+        # takes the last stage); mr_metric_stages='last' skips their
+        # chamfer evaluations entirely.
+        mr_wanted = cfg.mr_metric_stages == "all" or i == len(stages) - 1
+        if cfg.use_mesh_repro_loss and mr_wanted:
             sil_pred = reproject_to_pixels(s.verts, s.cam, float(cfg.img_size))
             mr.append(
                 cfg.mr_loss_weight

@@ -172,6 +172,30 @@ def test_overfit_decreases_loss(setup, rng):
     assert np.mean(losses[-3:]) < 0.8 * np.mean(losses[:3]), losses
 
 
+def test_mr_metric_stages_last_identical_update(setup, rng):
+    """mr_metric_stages='last' drops only metric-stage chamfer evals: the
+    parameter update is bit-identical (early-stage mesh losses never enter
+    the generator objective) and the last-stage mr metric matches."""
+    smpl, cfg, hmr, critic, state = setup
+    gen, mocap = _batches(rng)
+    step_all = jax.jit(make_train_step(hmr, critic, cfg))
+    step_last = jax.jit(
+        make_train_step(hmr, critic, cfg.replace(mr_metric_stages="last"))
+    )
+    sa, ma = step_all(state, gen, mocap, jax.random.PRNGKey(3))
+    sl, ml = step_last(state, gen, mocap, jax.random.PRNGKey(3))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        sa.gen_params,
+        sl.gen_params,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ma.mr_losses[-1]), np.asarray(ml.mr_losses[-1])
+    )
+    assert np.asarray(ml.mr_losses[:-1]).max() == 0.0
+    assert np.asarray(ma.mr_losses[:-1]).min() > 0.0
+
+
 def test_val_step(setup, rng):
     smpl, cfg, hmr, critic, state = setup
     val_fn = jax.jit(make_val_step(hmr, critic, cfg))

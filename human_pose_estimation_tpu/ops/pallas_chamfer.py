@@ -146,13 +146,21 @@ def _chamfer_forward(
     return jnp.where(has_gt, l1 + l2, 0.0)
 
 
-def _bwd_kernel(gt_ref, mask_ref, pred_ref, l1gx_ref, l1gy_ref, vmin_ref, bx_ref, by_ref):
+def _bwd_kernel(
+    gt_ref, mask_ref, pred_ref, l1gx_ref, l1gy_ref, vmin_ref, bx_ref, by_ref,
+    l1v_ref=None,
+):
     """Backward-pass streaming kernel (same tiling/layouts as _kernel).
 
     Per pixel tile, accumulates the gt->pred L1 gradient columns
     (tie-split assignment x -sign(diff)) and tracks the running
     per-vertex nearest-pixel coordinates for the pred->gt L2 gradient —
     all 2-D, gather-free.
+
+    With ``l1v_ref`` (the train-path variant) it ALSO accumulates the
+    forward gt->pred L1 value from the same distance tile, so training
+    needs a single P x V pass for loss + gradient instead of a forward
+    pass plus a recomputing backward pass.
     """
     from jax.experimental import pallas as pl
 
@@ -183,6 +191,13 @@ def _bwd_kernel(gt_ref, mask_ref, pred_ref, l1gx_ref, l1gy_ref, vmin_ref, bx_ref
     tx = jnp.min(jnp.where(is_min, gx, BIG), axis=0, keepdims=True)
     ty = jnp.min(jnp.where(is_min, gy, BIG), axis=0, keepdims=True)
 
+    if l1v_ref is not None:
+        # Forward value: masked sum of L1-of-the-L2-nearest (identical
+        # formulas to _kernel's gt->pred path).
+        l1 = jnp.abs(dx) + jnp.abs(dy)
+        l1_near = jnp.min(jnp.where(d <= dmin, l1, BIG), axis=1, keepdims=True)
+        tile_l1 = jnp.sum(l1_near * mask)
+
     @pl.when(pt == 0)
     def _():
         l1gx_ref[0, :, :] = tile_gx
@@ -190,6 +205,8 @@ def _bwd_kernel(gt_ref, mask_ref, pred_ref, l1gx_ref, l1gy_ref, vmin_ref, bx_ref
         vmin_ref[0, :, :] = tmin
         bx_ref[0, :, :] = tx
         by_ref[0, :, :] = ty
+        if l1v_ref is not None:
+            l1v_ref[0, :, :] = jnp.full((1, 128), tile_l1, dtype=jnp.float32)
 
     @pl.when(pt > 0)
     def _():
@@ -199,13 +216,16 @@ def _bwd_kernel(gt_ref, mask_ref, pred_ref, l1gx_ref, l1gy_ref, vmin_ref, bx_ref
         bx_ref[0, :, :] = jnp.where(take, tx, bx_ref[0, :, :])
         by_ref[0, :, :] = jnp.where(take, ty, by_ref[0, :, :])
         vmin_ref[0, :, :] = jnp.minimum(vmin_ref[0, :, :], tmin)
+        if l1v_ref is not None:
+            l1v_ref[0, :, :] = l1v_ref[0, :, :] + tile_l1
 
 
-def _chamfer_grad_pred_pallas(
-    gt_points, gt_mask, pred_points, cotangent, chunk_size=128, interpret=False
+def _run_bwd_kernel(
+    gt_points, gt_mask, pred_points, chunk_size, interpret, with_value: bool
 ):
-    """Pallas-accelerated analytic gradient (see _chamfer_grad_pred for the
-    reference semantics; both match XLA autodiff up to tie handling)."""
+    """Shared pallas_call for the backward / fused-train kernels. Returns
+    (l1_grad (N,V,2), l2_grad (N,V,2), has_gt (N,), vmin (N,V),
+    l1_value (N,) or None)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -225,7 +245,14 @@ def _chamfer_grad_pred_pallas(
 
     grid = (n, gt_p.shape[1] // c)
     row_spec = pl.BlockSpec((1, 1, vp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM)
-    l1gx, l1gy, vmin, bx, by = pl.pallas_call(
+    out_specs = [row_spec] * 5
+    out_shape = [jax.ShapeDtypeStruct((n, 1, vp), f32)] * 5
+    if with_value:
+        out_specs.append(
+            pl.BlockSpec((1, 1, 128), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((n, 1, 128), f32))
+    outs = pl.pallas_call(
         _bwd_kernel,
         grid=grid,
         in_specs=[
@@ -233,10 +260,11 @@ def _chamfer_grad_pred_pallas(
             pl.BlockSpec((1, c, 1), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, vp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[row_spec] * 5,
-        out_shape=[jax.ShapeDtypeStruct((n, 1, vp), f32)] * 5,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(gt_p, mask_p, pred_t)
+    l1gx, l1gy, vmin, bx, by = outs[:5]
 
     l1_grad = jnp.stack([l1gx[:, 0, :v], l1gy[:, 0, :v]], axis=-1)  # (N, V, 2)
     best_xy = jnp.stack([bx[:, 0, :v], by[:, 0, :v]], axis=-1)
@@ -248,8 +276,36 @@ def _chamfer_grad_pred_pallas(
     l2_grad = jnp.where((vmin < BIG / 2)[..., None], l2_grad, 0.0)
 
     has_gt = (jnp.sum(gt_mask, axis=-1) > 0).astype(jnp.float32)
+    l1_value = outs[5][:, 0, 0] if with_value else None
+    return l1_grad, l2_grad, has_gt, vmin, l1_value
+
+
+def _chamfer_grad_pred_pallas(
+    gt_points, gt_mask, pred_points, cotangent, chunk_size=128, interpret=False
+):
+    """Pallas-accelerated analytic gradient (see _chamfer_grad_pred for the
+    reference semantics; both match XLA autodiff up to tie handling)."""
+    l1_grad, l2_grad, has_gt, _, _ = _run_bwd_kernel(
+        gt_points, gt_mask, pred_points, chunk_size, interpret, with_value=False
+    )
     scale = (cotangent * has_gt)[:, None, None]
     return scale * (l1_grad + l2_grad)
+
+
+def _chamfer_value_and_grad_pallas(
+    gt_points, gt_mask, pred_points, chunk_size, interpret
+):
+    """ONE streaming P x V pass computing the loss value AND the unscaled
+    d(loss)/d(pred) — the training path (custom-VJP fwd), replacing
+    forward kernel + recomputing backward kernel (~1.8x on the train-time
+    chamfer cost; PERF.md "Pallas chamfer kernel")."""
+    l1_grad, l2_grad, has_gt, vmin, l1_value = _run_bwd_kernel(
+        gt_points, gt_mask, pred_points, chunk_size, interpret, with_value=True
+    )
+    l2_value = jnp.sum(jnp.sqrt(jnp.maximum(vmin, 0.0)) * (vmin < BIG / 2), axis=-1)
+    value = has_gt * (l1_value + l2_value)
+    grad_unscaled = has_gt[:, None, None] * (l1_grad + l2_grad)
+    return value, grad_unscaled
 
 
 def _chamfer_grad_pred(gt_points, gt_mask, pred_points, cotangent, chunk_size=128):
@@ -320,19 +376,25 @@ def chamfer_pallas(gt_points, gt_mask, pred_points, chunk_size=128, interpret=Fa
 
 
 def _chamfer_fwd(gt_points, gt_mask, pred_points, chunk_size, interpret):
-    out = _chamfer_forward(gt_points, gt_mask, pred_points, chunk_size, interpret)
-    return out, (gt_points, gt_mask, pred_points)
+    # Single fused pass for value + gradient (the backward kernel keeps
+    # more (C, V) intermediates live than the forward; halve the pixel
+    # tile to fit VMEM). The gradient rides along as the VJP residual,
+    # so _chamfer_bwd is just a cotangent scale — no second P x V pass.
+    out, grad_unscaled = _chamfer_value_and_grad_pallas(
+        gt_points, gt_mask, pred_points,
+        chunk_size=max(8, chunk_size // 2), interpret=interpret,
+    )
+    return out, (grad_unscaled, gt_points.shape, gt_mask.shape)
 
 
 def _chamfer_bwd(chunk_size, interpret, residuals, cotangent):
-    gt_points, gt_mask, pred_points = residuals
-    # The backward keeps more (C, V) intermediates live than the forward
-    # (assignment + two sign products); halve the pixel tile to fit VMEM.
-    grad_pred = _chamfer_grad_pred_pallas(
-        gt_points, gt_mask, pred_points, cotangent,
-        chunk_size=max(8, chunk_size // 2), interpret=interpret,
+    grad_unscaled, gt_shape, mask_shape = residuals
+    grad_pred = cotangent[:, None, None] * grad_unscaled
+    return (
+        jnp.zeros(gt_shape, jnp.float32),
+        jnp.zeros(mask_shape, jnp.float32),
+        grad_pred,
     )
-    return jnp.zeros_like(gt_points), jnp.zeros_like(gt_mask), grad_pred
 
 
 chamfer_pallas.defvjp(_chamfer_fwd, _chamfer_bwd)

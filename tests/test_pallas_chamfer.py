@@ -54,6 +54,33 @@ def test_pallas_gradient_matches_xla_autodiff(rng):
     np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref), atol=2e-3)
 
 
+def test_pallas_value_and_grad_single_pass_matches(rng):
+    """The differentiated path runs ONE fused kernel (value + gradient
+    residual); its value must equal the plain forward kernel's and its
+    gradient the two-pass analytic one."""
+    import jax
+
+    n, p, v = 2, 100, 64
+    gt = jnp.asarray((rng.rand(n, p, 2) * 224).astype(np.float32))
+    mask = jnp.asarray((rng.rand(n, p) > 0.3).astype(np.float32))
+    pred = jnp.asarray((rng.rand(n, v, 2) * 224).astype(np.float32))
+
+    plain = chamfer_pallas(gt, mask, pred, 32, True)
+    val, grads = jax.value_and_grad(
+        lambda q: jnp.sum(chamfer_pallas(gt, mask, q, 32, True))
+    )(pred)
+    np.testing.assert_allclose(np.asarray(val), float(np.asarray(plain).sum()), rtol=1e-6)
+
+    from human_pose_estimation_tpu.ops.pallas_chamfer import (
+        _chamfer_grad_pred_pallas,
+    )
+
+    g_twopass = _chamfer_grad_pred_pallas(
+        gt, mask, pred, jnp.ones(n), chunk_size=16, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(grads), np.asarray(g_twopass), atol=1e-5)
+
+
 def test_pallas_gradient_empty_mask_is_zero(rng):
     import jax
 

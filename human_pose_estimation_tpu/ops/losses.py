@@ -112,25 +112,35 @@ def chamfer_loss(
         # All nearest-neighbor *selections* below use the masked-min trick
         # (where(d == dmin, value, +inf) -> min) instead of argmin +
         # take_along_axis: TPU lowers those gathers to serialized dynamic
-        # slices, which is catastrophic at (N, C, V) scale. Exact-tie
-        # selections pick the min value among ties (measure-zero diff).
+        # slices, which is catastrophic at (N, C, V) scale. Exact ties
+        # resolve first-index-wins via an index-carrying min, matching the
+        # reference's tf.argmin (src/ops.py:64-71).
         # gt -> pred: L1 to the L2-nearest vertex, masked accumulate.
         dmin_pix = jnp.min(d, axis=-1, keepdims=True)  # (N, C, 1)
+        iv = jnp.arange(v, dtype=d.dtype)  # (V,) broadcasts over (N, C, V)
+        idx_near = jnp.min(
+            jnp.where(d <= dmin_pix, iv, big), axis=-1, keepdims=True
+        )  # (N, C, 1) first tied vertex index
         l1v = jnp.sum(
             jnp.abs(pts[:, :, None, :] - pred_points[:, None, :, :]), axis=-1
         )  # (N, C, V)
-        l1 = jnp.min(jnp.where(d <= dmin_pix, l1v, big), axis=-1) * mask
+        l1 = jnp.min(jnp.where(iv == idx_near, l1v, big), axis=-1) * mask
         l1_acc = l1_acc + jnp.sum(l1, axis=-1)
         # pred -> gt: running min over masked gt pixels, tracking coords so
         # the final distance is an exact vector norm (not sqrt of a
-        # cancellation-prone matrix entry).
+        # cancellation-prone matrix entry). Ties take the first pixel index
+        # (within-chunk via index-carrying min; across chunks the strict
+        # `<` carry keeps the earlier chunk).
         d_masked = jnp.where(mask[..., None] > 0, d, big)
         chunk_min = jnp.min(d_masked, axis=1)  # (N, V)
         is_min = d_masked <= chunk_min[:, None, :]  # (N, C, V)
+        ic = jnp.arange(chunk_size, dtype=d.dtype)[:, None]  # (C, 1)
+        row_near = jnp.min(jnp.where(is_min, ic, big), axis=1)  # (N, V)
+        sel = ic == row_near[:, None, :]  # (N, C, V) one row per column
         chunk_x = jnp.min(
-            jnp.where(is_min, pts[:, :, 0:1], big), axis=1
+            jnp.where(sel, pts[:, :, 0:1], big), axis=1
         )  # (N, V)
-        chunk_y = jnp.min(jnp.where(is_min, pts[:, :, 1:2], big), axis=1)
+        chunk_y = jnp.min(jnp.where(sel, pts[:, :, 1:2], big), axis=1)
         chunk_xy = jnp.stack([chunk_x, chunk_y], axis=-1)
         take_new = chunk_min < best_sq
         best_xy = jnp.where(take_new[..., None], chunk_xy, best_xy)

@@ -15,12 +15,11 @@ opportunity in this model):
   squared distances on the VPU (no expanded-form cancellation), folds it
   into a running per-vertex minimum (pred->gt) that lives in the output
   ref across grid steps, and accumulates the masked per-pixel L1-of-
-  nearest via a tie-tolerant two-pass min (no gather/argmin needed on
+  nearest via an index-carrying two-pass min (no gather/argmin needed on
   TPU). HBM traffic is O(P + V) per image instead of O(P*V).
 
-The nearest-vertex selection under exact distance ties differs from
-"first index wins" only when two vertices are exactly equidistant AND
-have different L1 distances — measure-zero for float inputs.
+Exact distance ties resolve first-index-wins (an iota-carrying masked
+min), matching the reference's tf.argmin selections (src/ops.py:64-71).
 """
 from __future__ import annotations
 
@@ -31,6 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 BIG = 1e30
+IBIG = 2**30  # integer sentinel for index-carrying mins (plain int so
+# kernels don't capture a traced constant)
 
 
 def _kernel(gt_ref, mask_ref, pred_ref, l1_ref, vmin_ref):
@@ -68,11 +69,17 @@ def _kernel(gt_ref, mask_ref, pred_ref, l1_ref, vmin_ref):
     def _():
         vmin_ref[0, :, :] = jnp.minimum(vmin_ref[0, :, :], tile_min)
 
-    # --- gt -> pred: L1 of the L2-nearest vertex, masked sum ------------
+    # --- gt -> pred: L1 of the (first) L2-nearest vertex, masked sum ----
+    # (iotas must be integer for Mosaic's tpu.iota; IBIG is the int
+    # sentinel playing BIG's role in the index-carrying min.)
     dmin = jnp.min(d, axis=1, keepdims=True)  # (C, 1)
+    iv = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)  # (C, V)
+    idx_near = jnp.min(
+        jnp.where(d <= dmin, iv, IBIG), axis=1, keepdims=True
+    )  # (C, 1) first tied vertex index
     l1 = jnp.abs(dx) + jnp.abs(dy)
     l1_near = jnp.min(
-        jnp.where(d <= dmin, l1, BIG), axis=1, keepdims=True
+        jnp.where(iv == idx_near, l1, BIG), axis=1, keepdims=True
     )  # (C, 1)
     tile_l1 = jnp.sum(l1_near * mask)  # full 2-D -> scalar reduce
 
@@ -153,7 +160,7 @@ def _bwd_kernel(
     """Backward-pass streaming kernel (same tiling/layouts as _kernel).
 
     Per pixel tile, accumulates the gt->pred L1 gradient columns
-    (tie-split assignment x -sign(diff)) and tracks the running
+    (first-index nearest assignment x -sign(diff)) and tracks the running
     per-vertex nearest-pixel coordinates for the pred->gt L2 gradient —
     all 2-D, gather-free.
 
@@ -176,26 +183,30 @@ def _bwd_kernel(
     dy = gy - py
     d = dx * dx + dy * dy
 
-    # gt -> pred: tie-split nearest assignment, column-accumulated.
+    # gt -> pred: first-index nearest assignment, column-accumulated.
     dmin = jnp.min(d, axis=1, keepdims=True)  # (C, 1)
-    ties = (d <= dmin).astype(jnp.float32)
-    cnt = jnp.sum(ties, axis=1, keepdims=True)
-    a = ties / jnp.maximum(cnt, 1.0) * mask  # (C, V)
+    iv = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)  # (C, V)
+    idx_near = jnp.min(jnp.where(d <= dmin, iv, IBIG), axis=1, keepdims=True)
+    a = (iv == idx_near).astype(jnp.float32) * mask  # (C, V) one-hot rows
     tile_gx = jnp.sum(a * -jnp.sign(dx), axis=0, keepdims=True)  # (1, V)
     tile_gy = jnp.sum(a * -jnp.sign(dy), axis=0, keepdims=True)
 
-    # pred -> gt: running masked min + coordinate selection.
+    # pred -> gt: running masked min + first-pixel coordinate selection
+    # (across tiles the strict `<` take keeps the earlier tile's pixel).
     d_masked = jnp.where(mask > 0, d, BIG)
     tmin = jnp.min(d_masked, axis=0, keepdims=True)  # (1, V)
     is_min = d_masked <= tmin
-    tx = jnp.min(jnp.where(is_min, gx, BIG), axis=0, keepdims=True)
-    ty = jnp.min(jnp.where(is_min, gy, BIG), axis=0, keepdims=True)
+    ir = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)  # (C, V)
+    row_near = jnp.min(jnp.where(is_min, ir, IBIG), axis=0, keepdims=True)
+    sel = ir == row_near  # one row per column
+    tx = jnp.min(jnp.where(sel, gx, BIG), axis=0, keepdims=True)
+    ty = jnp.min(jnp.where(sel, gy, BIG), axis=0, keepdims=True)
 
     if l1v_ref is not None:
         # Forward value: masked sum of L1-of-the-L2-nearest (identical
         # formulas to _kernel's gt->pred path).
         l1 = jnp.abs(dx) + jnp.abs(dy)
-        l1_near = jnp.min(jnp.where(d <= dmin, l1, BIG), axis=1, keepdims=True)
+        l1_near = jnp.min(jnp.where(iv == idx_near, l1, BIG), axis=1, keepdims=True)
         tile_l1 = jnp.sum(l1_near * mask)
 
     @pl.when(pt == 0)
@@ -315,7 +326,7 @@ def _chamfer_grad_pred(gt_points, gt_mask, pred_points, cotangent, chunk_size=12
     selected distances, not the (piecewise-constant) selections:
       * pred->gt: unit vector from nearest pixel to each vertex;
       * gt->pred: -sign(g - p) scattered onto each pixel's nearest
-        vertex (exact ties split across tied vertices — measure zero).
+        vertex (exact ties resolve first-index-wins, as everywhere).
     """
     n, p, _ = gt_points.shape
     v = pred_points.shape[1]
@@ -333,20 +344,28 @@ def _chamfer_grad_pred(gt_points, gt_mask, pred_points, cotangent, chunk_size=12
         pts, mask = chunk  # (N, C, 2), (N, C)
         diff = pts[:, :, None, :] - pred_points[:, None, :, :]  # (N, C, V, 2)
         d = jnp.sum(diff * diff, axis=-1)  # (N, C, V)
-        # gt->pred: assignment to (tied-)nearest vertices
+        # gt->pred: assignment to the FIRST nearest vertex (index-carrying
+        # min, matching the reference's argmin under exact ties)
         dmin_pix = jnp.min(d, axis=2, keepdims=True)
-        assign = (d <= dmin_pix).astype(jnp.float32)
-        assign = assign / jnp.maximum(jnp.sum(assign, axis=2, keepdims=True), 1.0)
+        iv = jnp.arange(v, dtype=d.dtype)
+        idx_near = jnp.min(
+            jnp.where(d <= dmin_pix, iv, big), axis=2, keepdims=True
+        )
+        assign = (iv == idx_near).astype(jnp.float32)
         contrib = -jnp.sign(diff) * (assign * mask[:, :, None])[..., None]
         l1_grad = l1_grad + jnp.sum(contrib, axis=1)  # (N, V, 2)
         # pred->gt: running nearest pixel per vertex. Coordinate selection
         # uses the masked-min trick instead of argmin + take_along_axis
-        # (TPU lowers such gathers to serialized dynamic slices).
+        # (TPU lowers such gathers to serialized dynamic slices); ties take
+        # the first pixel index.
         d_masked = jnp.where(mask[:, :, None] > 0, d, big)
         tile_min = jnp.min(d_masked, axis=1)  # (N, V)
         is_min = d_masked <= tile_min[:, None, :]
-        tile_x = jnp.min(jnp.where(is_min, pts[:, :, 0:1], big), axis=1)
-        tile_y = jnp.min(jnp.where(is_min, pts[:, :, 1:2], big), axis=1)
+        ic = jnp.arange(pts.shape[1], dtype=d.dtype)[:, None]  # (C, 1)
+        row_near = jnp.min(jnp.where(is_min, ic, big), axis=1)  # (N, V)
+        sel = ic == row_near[:, None, :]
+        tile_x = jnp.min(jnp.where(sel, pts[:, :, 0:1], big), axis=1)
+        tile_y = jnp.min(jnp.where(sel, pts[:, :, 1:2], big), axis=1)
         tile_xy = jnp.stack([tile_x, tile_y], axis=-1)
         take = tile_min < vmin
         best_xy = jnp.where(take[..., None], tile_xy, best_xy)

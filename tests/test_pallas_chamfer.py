@@ -81,6 +81,47 @@ def test_pallas_value_and_grad_single_pass_matches(rng):
     np.testing.assert_allclose(np.asarray(grads), np.asarray(g_twopass), atol=1e-5)
 
 
+def test_tie_break_first_index_value():
+    """Two vertices exactly L2-equidistant from the one gt pixel but with
+    different L1 distances: first index must win (the reference's tf.argmin
+    semantics, ref src/ops.py:64-71). Integer coordinates so the tie is
+    exact in f32 under both the direct and expanded distance forms:
+    v0=(3,4) has L1 7; v1=(5,0) has L1 5; both have d=25."""
+    gt = jnp.zeros((1, 8, 2), jnp.float32)
+    mask = jnp.zeros((1, 8), jnp.float32).at[0, 0].set(1.0)
+    pred = jnp.asarray([[[3.0, 4.0], [5.0, 0.0]]], jnp.float32)
+    expected = 7.0 + 5.0 + 5.0  # L1-of-first-nearest + two pred->gt L2s
+    out_xla = chamfer_loss(gt, mask, pred, chunk_size=8)
+    out_pl = chamfer_pallas(gt, mask, pred, 8, True)
+    np.testing.assert_allclose(np.asarray(out_xla), [expected], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_pl), [expected], atol=1e-6)
+
+
+def test_tie_break_first_index_gradient():
+    """One vertex exactly equidistant from two gt pixels: the pred->gt
+    gradient must be the unit vector from the FIRST pixel (p0), on both the
+    XLA autodiff path and the Pallas analytic VJP."""
+    import jax
+
+    gt = jnp.zeros((1, 8, 2), jnp.float32)
+    gt = gt.at[0, 0].set(jnp.asarray([3.0, 4.0])).at[0, 1].set(
+        jnp.asarray([4.0, 3.0])
+    )
+    mask = jnp.zeros((1, 8), jnp.float32).at[0, :2].set(1.0)
+    pred = jnp.zeros((1, 1, 2), jnp.float32)
+    # Both pixels are at exact d=25 from the vertex (and no coordinate
+    # diff is exactly zero — JAX's |0| autodiff convention differs from
+    # the analytic sign(0)=0).
+    # gt->pred: -sign(g - v) summed over both pixels = (-2, -2);
+    # pred->gt from FIRST pixel p0: (v - p0)/5 = (-0.6, -0.8); a p1
+    # selection would give (-0.8, -0.6) instead. Total (-2.6, -2.8).
+    expected = np.asarray([[[-2.6, -2.8]]], np.float32)
+    g_xla = jax.grad(lambda q: jnp.sum(chamfer_loss(gt, mask, q, chunk_size=8)))(pred)
+    g_pl = jax.grad(lambda q: jnp.sum(chamfer_pallas(gt, mask, q, 8, True)))(pred)
+    np.testing.assert_allclose(np.asarray(g_xla), expected, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_pl), expected, atol=1e-6)
+
+
 def test_pallas_gradient_empty_mask_is_zero(rng):
     import jax
 

@@ -48,6 +48,21 @@ def keypoint_reprojection_loss(kp_gt: jax.Array, kp_pred: jax.Array) -> jax.Arra
     return jnp.sum(err) / denom
 
 
+_IBIG = 2**30  # integer sentinel for index-carrying mins
+
+
+def _first_min_mask(cond: jax.Array, axis: int) -> jax.Array:
+    """One-hot (bool) mask selecting the FIRST True element of ``cond``
+    along ``axis`` — the index-carrying-min idiom shared by all XLA
+    nearest-neighbor selections (tf.argmin first-index semantics without
+    gathers). Indices are int32 on purpose: an iota in the *data* dtype
+    collides above 256 for bf16 inputs and selects multiple columns."""
+    axis = axis % len(cond.shape)  # broadcasted_iota rejects negative axes
+    iota = jax.lax.broadcasted_iota(jnp.int32, cond.shape, axis)
+    first = jnp.min(jnp.where(cond, iota, _IBIG), axis=axis, keepdims=True)
+    return iota == first
+
+
 def chamfer_loss(
     gt_points: jax.Array,
     gt_mask: jax.Array,
@@ -117,14 +132,11 @@ def chamfer_loss(
         # reference's tf.argmin (src/ops.py:64-71).
         # gt -> pred: L1 to the L2-nearest vertex, masked accumulate.
         dmin_pix = jnp.min(d, axis=-1, keepdims=True)  # (N, C, 1)
-        iv = jnp.arange(v, dtype=d.dtype)  # (V,) broadcasts over (N, C, V)
-        idx_near = jnp.min(
-            jnp.where(d <= dmin_pix, iv, big), axis=-1, keepdims=True
-        )  # (N, C, 1) first tied vertex index
+        near = _first_min_mask(d <= dmin_pix, axis=-1)  # (N, C, V)
         l1v = jnp.sum(
             jnp.abs(pts[:, :, None, :] - pred_points[:, None, :, :]), axis=-1
         )  # (N, C, V)
-        l1 = jnp.min(jnp.where(iv == idx_near, l1v, big), axis=-1) * mask
+        l1 = jnp.min(jnp.where(near, l1v, big), axis=-1) * mask
         l1_acc = l1_acc + jnp.sum(l1, axis=-1)
         # pred -> gt: running min over masked gt pixels, tracking coords so
         # the final distance is an exact vector norm (not sqrt of a
@@ -134,9 +146,7 @@ def chamfer_loss(
         d_masked = jnp.where(mask[..., None] > 0, d, big)
         chunk_min = jnp.min(d_masked, axis=1)  # (N, V)
         is_min = d_masked <= chunk_min[:, None, :]  # (N, C, V)
-        ic = jnp.arange(chunk_size, dtype=d.dtype)[:, None]  # (C, 1)
-        row_near = jnp.min(jnp.where(is_min, ic, big), axis=1)  # (N, V)
-        sel = ic == row_near[:, None, :]  # (N, C, V) one row per column
+        sel = _first_min_mask(is_min, axis=1)  # one row per column
         chunk_x = jnp.min(
             jnp.where(sel, pts[:, :, 0:1], big), axis=1
         )  # (N, V)
@@ -157,7 +167,12 @@ def chamfer_loss(
     )
 
     has_gt = jnp.sum(gt_mask, axis=-1) > 0  # guard empty silhouettes
-    l2 = jnp.linalg.norm(pred_points - best_xy, axis=-1)  # (N, V)
+    # NaN-safe norm (double-where): a vertex exactly coincident with its
+    # nearest pixel has sqrt(0) here, whose autodiff is NaN and would
+    # poison the whole step; the analytic VJP paths guard the same case.
+    d2 = jnp.sum(jnp.square(pred_points - best_xy), axis=-1)  # (N, V)
+    nz = d2 > 0
+    l2 = jnp.where(nz, jnp.sqrt(jnp.where(nz, d2, 1.0)), 0.0)
     l2_sum = jnp.where(has_gt, jnp.sum(l2, axis=-1), 0.0)
     l1_sum = jnp.where(has_gt, l1_acc, 0.0)
     return l2_sum + l1_sum

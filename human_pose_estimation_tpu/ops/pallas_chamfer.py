@@ -346,12 +346,10 @@ def _chamfer_grad_pred(gt_points, gt_mask, pred_points, cotangent, chunk_size=12
         d = jnp.sum(diff * diff, axis=-1)  # (N, C, V)
         # gt->pred: assignment to the FIRST nearest vertex (index-carrying
         # min, matching the reference's argmin under exact ties)
+        from .losses import _first_min_mask
+
         dmin_pix = jnp.min(d, axis=2, keepdims=True)
-        iv = jnp.arange(v, dtype=d.dtype)
-        idx_near = jnp.min(
-            jnp.where(d <= dmin_pix, iv, big), axis=2, keepdims=True
-        )
-        assign = (iv == idx_near).astype(jnp.float32)
+        assign = _first_min_mask(d <= dmin_pix, axis=2).astype(jnp.float32)
         contrib = -jnp.sign(diff) * (assign * mask[:, :, None])[..., None]
         l1_grad = l1_grad + jnp.sum(contrib, axis=1)  # (N, V, 2)
         # pred->gt: running nearest pixel per vertex. Coordinate selection
@@ -361,9 +359,7 @@ def _chamfer_grad_pred(gt_points, gt_mask, pred_points, cotangent, chunk_size=12
         d_masked = jnp.where(mask[:, :, None] > 0, d, big)
         tile_min = jnp.min(d_masked, axis=1)  # (N, V)
         is_min = d_masked <= tile_min[:, None, :]
-        ic = jnp.arange(pts.shape[1], dtype=d.dtype)[:, None]  # (C, 1)
-        row_near = jnp.min(jnp.where(is_min, ic, big), axis=1)  # (N, V)
-        sel = ic == row_near[:, None, :]
+        sel = _first_min_mask(is_min, axis=1)
         tile_x = jnp.min(jnp.where(sel, pts[:, :, 0:1], big), axis=1)
         tile_y = jnp.min(jnp.where(sel, pts[:, :, 1:2], big), axis=1)
         tile_xy = jnp.stack([tile_x, tile_y], axis=-1)

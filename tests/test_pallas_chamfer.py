@@ -122,6 +122,90 @@ def test_tie_break_first_index_gradient():
     np.testing.assert_allclose(np.asarray(g_pl), expected, atol=1e-6)
 
 
+def test_tie_break_first_index_across_chunks():
+    """Equidistant pixels in DIFFERENT scan chunks / pallas tiles (indices
+    0 and 9 with chunk 8): the cross-chunk strict-< carry must keep the
+    earlier chunk's pixel, on the XLA autodiff and Pallas VJP paths."""
+    import jax
+
+    gt = jnp.zeros((1, 16, 2), jnp.float32)
+    gt = gt.at[0, 0].set(jnp.asarray([3.0, 4.0])).at[0, 9].set(
+        jnp.asarray([4.0, 3.0])
+    )
+    mask = jnp.zeros((1, 16), jnp.float32).at[0, 0].set(1.0).at[0, 9].set(1.0)
+    pred = jnp.zeros((1, 1, 2), jnp.float32)
+    # Same geometry as the within-chunk tie test: total (-2.6, -2.8) iff
+    # the first chunk's pixel (3,4) wins the pred->gt selection.
+    expected = np.asarray([[[-2.6, -2.8]]], np.float32)
+    g_xla = jax.grad(lambda q: jnp.sum(chamfer_loss(gt, mask, q, chunk_size=8)))(pred)
+    g_pl = jax.grad(lambda q: jnp.sum(chamfer_pallas(gt, mask, q, 8, True)))(pred)
+    np.testing.assert_allclose(np.asarray(g_xla), expected, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_pl), expected, atol=1e-6)
+
+
+def test_bf16_inputs_do_not_collide_indices():
+    """bf16 integers above 256 are not exact, so an index iota in the DATA
+    dtype collides adjacent vertices and selects several columns at once
+    (regression: selections must use int32 indices regardless of input
+    dtype). Vertex 257 is the unique L2-nearest of the one gt pixel; under
+    a bf16-iota collision vertex 256 would ALSO receive the pixel's L1
+    gradient. Check the two vertices' gradients — localized, so bf16
+    rounding noise from the far vertices cannot mask the defect."""
+    import jax
+
+    v = 258
+    pred = np.full((1, v, 2), 1000.0, np.float32)
+    pred[0, 257] = [3.0, 4.0]  # d=25  <- the true (unique) nearest
+    pred[0, 256] = [5.5, 0.0]  # d=30.25
+    gt = np.zeros((1, 8, 2), np.float32)
+    mask = np.zeros((1, 8), np.float32)
+    mask[0, 0] = 1.0
+    g = jax.grad(
+        lambda q: jnp.sum(
+            chamfer_loss(
+                jnp.asarray(gt, jnp.bfloat16),
+                jnp.asarray(mask, jnp.bfloat16),
+                q,
+                chunk_size=8,
+            ).astype(jnp.float32)
+        )
+    )(jnp.asarray(pred, jnp.bfloat16))
+    g = np.asarray(g, np.float32)
+    # 257: l1 onto the nearest vertex -sign(g-p)=(1,1) + l2 unit (.6,.8)
+    np.testing.assert_allclose(g[0, 257], [1.6, 1.8], atol=0.05)
+    # 256: ONLY its own pred->gt unit vector (1,0); a collision adds (1,1)
+    np.testing.assert_allclose(g[0, 256], [1.0, 0.0], atol=0.05)
+
+
+def test_analytic_xla_grad_matches_pallas(rng):
+    """_chamfer_grad_pred (the XLA scan analytic gradient — the readable
+    spec of the kernel's math) must match _chamfer_grad_pred_pallas."""
+    from human_pose_estimation_tpu.ops.pallas_chamfer import (
+        _chamfer_grad_pred,
+        _chamfer_grad_pred_pallas,
+    )
+
+    n, p, v = 2, 45, 30
+    gt = jnp.asarray((rng.rand(n, p, 2) * 100).astype(np.float32))
+    mask = jnp.asarray((rng.rand(n, p) > 0.3).astype(np.float32))
+    pred = jnp.asarray((rng.rand(n, v, 2) * 100).astype(np.float32))
+    ct = jnp.asarray(rng.rand(n).astype(np.float32))
+    g_xla = _chamfer_grad_pred(gt, mask, pred, ct, chunk_size=16)
+    g_pl = _chamfer_grad_pred_pallas(gt, mask, pred, ct, chunk_size=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(g_xla), np.asarray(g_pl), atol=1e-5)
+
+
+def test_xla_gradient_finite_at_coincident_points(rng):
+    """A predicted vertex exactly on its nearest gt pixel hits sqrt(0) in
+    the pred->gt norm; the backward must be finite (0), not NaN."""
+    import jax
+
+    pts = jnp.asarray((rng.rand(2, 20, 2) * 100).astype(np.float32))
+    mask = jnp.ones((2, 20), jnp.float32)
+    g = jax.grad(lambda q: jnp.sum(chamfer_loss(pts, mask, q, chunk_size=8)))(pts)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_pallas_gradient_empty_mask_is_zero(rng):
     import jax
 

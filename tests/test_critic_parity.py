@@ -10,37 +10,13 @@ from human_pose_estimation_tpu.models.critic import Critic
 
 
 def _build_reference_critic():
-    """The reference CriticNetwork graph (ref src/models.py:158-202),
-    reconstructed with keras.layers.Concatenate — the reference's
-    ``tf.concat`` on symbolic tensors no longer builds under Keras 3, so
-    the architecture (layer names, sizes, activations, flatten order) is
-    reproduced 1:1 here as the parity oracle."""
-    import tensorflow as tf
-    from tensorflow import keras
-    from tensorflow.keras import layers
+    """Canonical rebuild of the reference CriticNetwork graph
+    (ref src/models.py:158-202) — shared with the checkpoint importer."""
+    from human_pose_estimation_tpu.models.port_reference import (
+        build_reference_critic,
+    )
 
-    kcs_in = layers.Input((13, 13), name="kcs_in")
-    kcs = layers.Dense(100, activation=tf.nn.leaky_relu, name="kcs_dense")(
-        layers.Flatten()(kcs_in)
-    )
-    joints_in = layers.Input((14, 3))
-    joints = layers.Dense(100, activation=tf.nn.leaky_relu, name="joints_dense")(
-        layers.Flatten()(joints_in)
-    )
-    skel = layers.Dense(1, name="combined_dense")(
-        layers.Concatenate(axis=1)([kcs, joints])
-    )
-    shapes_in = layers.Input((10,))
-    s = layers.Dense(10, activation="relu", name="shapes_dense_1")(shapes_in)
-    s = layers.Dense(5, activation="relu", name="shapes_dense_2")(s)
-    s = layers.Dense(1, name="shapes_dense_3")(s)
-    rot_in = layers.Input((23, 3, 3), name="rotation_in")
-    r = layers.Flatten()(rot_in)
-    r = layers.Dense(300, activation=tf.nn.leaky_relu, name="rotation_dense_1")(r)
-    r = layers.Dense(100, activation=tf.nn.leaky_relu, name="rotation_dense_2")(r)
-    r = layers.Dense(1, name="rotation_dense_3")(r)
-    out = layers.Concatenate(axis=1)([skel, s, r])
-    return keras.Model(inputs=[kcs_in, joints_in, shapes_in, rot_in], outputs=out)
+    return build_reference_critic()
 
 
 def test_critic_matches_reference(reference_src, rng):

@@ -53,7 +53,19 @@ def main(argv=None) -> None:
         print("no images found")
         return
 
-    predictor = Predictor(cfg)
+    calib = None
+    if cfg.encoder_int8:
+        # Calibrate the int8 activation scales on the first real images
+        # (dynamic-scale fallback is slower than bf16 — see config).
+        calib = np.stack(
+            [
+                preprocess_for_inference(
+                    cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB), cfg.img_size
+                )[0]
+                for path in paths[:8]
+            ]
+        )
+    predictor = Predictor(cfg, calibration_images=calib)
     renderer = None
     if args.render and predictor.smpl.faces is not None:
         renderer = SMPLRenderer(img_size=cfg.img_size, faces=predictor.smpl.faces)

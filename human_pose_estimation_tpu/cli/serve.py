@@ -31,6 +31,10 @@ def main(argv=None) -> None:
     p.add_argument("--outputs", default=None,
                    help="restrict response keys, e.g. generated_joints,generated_cams "
                         "(the 6890-vert mesh dominates response size)")
+    p.add_argument("--calibration", default=None,
+                   help="image glob for int8 activation-scale calibration "
+                        "(with --encoder_int8 true; uncalibrated int8 falls "
+                        "back to slower dynamic scales)")
     args, rest = p.parse_known_args(argv)
     cfg = parse_config(rest)
 
@@ -44,9 +48,30 @@ def main(argv=None) -> None:
     else:
         from ..infer.predictor import Predictor
 
+        calib = None
+        if args.calibration:
+            import cv2
+            from glob import glob
+
+            from ..utils.image import preprocess_for_inference
+
+            calib_paths = sorted(glob(args.calibration))[:16]
+            if calib_paths:
+                import numpy as _np
+
+                calib = _np.stack(
+                    [
+                        preprocess_for_inference(
+                            cv2.cvtColor(cv2.imread(p_), cv2.COLOR_BGR2RGB),
+                            cfg.img_size,
+                        )[0]
+                        for p_ in calib_paths
+                    ]
+                )
         predictor = Predictor(
             cfg,
             outputs=tuple(args.outputs.split(",")) if args.outputs else None,
+            calibration_images=calib,
         )
     # Warm the compiled executable so the first request never waits on
     # XLA compilation (a full padded batch through the real path).

@@ -113,6 +113,36 @@ class HMR:
         )
 
     # ------------------------------------------------------------------
+    # Quantization (inference serving path)
+    # ------------------------------------------------------------------
+    def quantize_encoder(self, variables, calibration_images=None):
+        """Fold BN + int8-quantize the encoder weights (PTQ) for the
+        serving fast path. Run once (e.g. at checkpoint restore); pass the
+        result to ``__call__(..., encoder_qparams=...)``.
+
+        With ``calibration_images`` (any representative batch — e.g. the
+        serving warmup batch) activation scales are calibrated statically,
+        which is what makes int8 *fast* (requant fuses into the conv
+        epilogues; see models/quantize.py). Without them the path falls
+        back to per-image dynamic scales (correct but slower than bf16).
+        """
+        from .quantize import calibrate_resnet, quantize_resnet
+
+        if getattr(self.encoder, "stem", "standard") != "standard":
+            raise ValueError("int8 encoder supports the standard stem only")
+        weights = quantize_resnet(
+            variables["params"]["encoder"],
+            variables["batch_stats"]["encoder"],
+            self.encoder.stage_sizes,
+        )
+        act = None
+        if calibration_images is not None:
+            act = calibrate_resnet(
+                weights, calibration_images, self.encoder.stage_sizes
+            )
+        return {"weights": weights, "act": act}
+
+    # ------------------------------------------------------------------
     # Forward
     # ------------------------------------------------------------------
     def __call__(
@@ -123,6 +153,7 @@ class HMR:
         train: bool = False,
         dropout_rng: Optional[jax.Array] = None,
         smpl_stages: str = "all",
+        encoder_qparams=None,
     ):
         """Full forward pass.
 
@@ -136,6 +167,9 @@ class HMR:
           smpl_stages: 'all' runs the body model at every IEF stage (needed
             for losses); 'last' runs it only on the final stage (inference
             fast path — earlier stages only need theta).
+          encoder_qparams: optional int8 encoder weights from
+            ``quantize_encoder`` — inference only (train must be False);
+            runs the PTQ serving path (models/quantize.py).
         Returns:
           (stages, new_batch_stats): list of StageOutput (entries for
           skipped SMPL stages contain theta/cam/pose/shape only, other
@@ -146,7 +180,19 @@ class HMR:
             "params": variables["params"]["encoder"],
             "batch_stats": variables["batch_stats"]["encoder"],
         }
-        if train:
+        if encoder_qparams is not None:
+            if train:
+                raise ValueError("encoder_qparams is an inference-only path")
+            from .quantize import resnet_apply_int8
+
+            features = resnet_apply_int8(
+                encoder_qparams["weights"],
+                images,
+                self.encoder.stage_sizes,
+                act_scales=encoder_qparams["act"],
+            )
+            new_batch_stats = None
+        elif train:
             def enc_fwd(variables, images):
                 return self.encoder.apply(
                     variables, images, train=True, mutable=["batch_stats"]

@@ -1,0 +1,215 @@
+"""Tests for the PTQ int8 encoder (models/quantize.py).
+
+The reference has no quantized path; these tests pin the rebuild's own
+semantics: BN folding is exact, weight quantization round-trips
+integer-representable weights exactly, and the int8 forward tracks the
+f32 encoder within the expected quantization-noise bound in both scale
+modes (dynamic per-image and static calibrated).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from human_pose_estimation_tpu.models.hmr import HMR
+from human_pose_estimation_tpu.models.quantize import (
+    calibrate_resnet,
+    fold_conv_bn,
+    quantize_conv,
+    quantize_resnet,
+    resnet_apply_int8,
+)
+from human_pose_estimation_tpu.models.resnet import BN_EPS, ResNet
+from human_pose_estimation_tpu.utils.assets import (
+    synthetic_mean_params,
+    synthetic_model,
+)
+
+SIZES = (1, 1)
+SIZES4 = (1, 1, 1, 1)  # 4 stages -> 2048-d features (what the regressor expects)
+
+
+def _realistic_variables(enc, rng, shape):
+    """Init variables, then perturb BN params/stats mildly so folding is
+    non-trivial while activations stay alive through the relus."""
+    variables = enc.init(rng, jnp.zeros(shape), train=False)
+
+    def perturb(path, a):
+        key = jax.random.PRNGKey(hash(str(path)) % (2**31))
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name == "var":
+            return a * jnp.exp(jax.random.normal(key, a.shape) * 0.1)
+        if name in ("mean", "bias", "scale"):
+            return a + jax.random.normal(key, a.shape) * 0.05
+        return a
+
+    return {
+        "params": jax.tree_util.tree_map_with_path(perturb, variables["params"]),
+        "batch_stats": jax.tree_util.tree_map_with_path(
+            perturb, variables["batch_stats"]
+        ),
+    }
+
+
+def test_fold_conv_bn_matches_flax_batchnorm():
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(3, 3, 4, 8).astype(np.float32))
+    b = jnp.asarray(rng.randn(8).astype(np.float32))
+    bn = {
+        "scale": jnp.asarray(rng.rand(8).astype(np.float32) + 0.5),
+        "bias": jnp.asarray(rng.randn(8).astype(np.float32)),
+        "mean": jnp.asarray(rng.randn(8).astype(np.float32)),
+        "var": jnp.asarray(rng.rand(8).astype(np.float32) + 0.3),
+    }
+    x = jnp.asarray(rng.randn(2, 9, 9, 4).astype(np.float32))
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(x, w, (1, 1), "SAME", dimension_numbers=dn) + b
+
+    mod = nn.BatchNorm(use_running_average=True, epsilon=BN_EPS)
+    ref = mod.apply(
+        {
+            "params": {"scale": bn["scale"], "bias": bn["bias"]},
+            "batch_stats": {"mean": bn["mean"], "var": bn["var"]},
+        },
+        y,
+    )
+
+    folded = fold_conv_bn(w, b, bn)
+    got = (
+        jax.lax.conv_general_dilated(
+            x, folded["kernel"], (1, 1), "SAME", dimension_numbers=dn
+        )
+        + folded["bias"]
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_quantize_conv_roundtrips_integer_weights():
+    # Weights already on an int8 grid quantize exactly.
+    rng = np.random.RandomState(1)
+    ints = rng.randint(-127, 128, size=(1, 1, 8, 8)).astype(np.float32)
+    ints[0, 0, 0, :] = 127.0  # pin each channel's max so s_w == scale
+    scale = 0.03125
+    folded = {"kernel": jnp.asarray(ints * scale), "bias": jnp.zeros(8)}
+    q = quantize_conv(folded)
+    recon = np.asarray(q["w"], np.float32) * np.asarray(q["s"])
+    np.testing.assert_allclose(recon, ints * scale, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("mode", ["dynamic", "static"])
+def test_int8_encoder_tracks_f32(mode):
+    enc = ResNet(stage_sizes=SIZES)
+    variables = _realistic_variables(enc, jax.random.PRNGKey(0), (1, 64, 64, 3))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 64, 64, 3))
+
+    feat_f32 = enc.apply(variables, x, train=False)
+    qp = quantize_resnet(variables["params"], variables["batch_stats"], SIZES)
+    act = calibrate_resnet(qp, x, SIZES) if mode == "static" else None
+    feat_i8 = resnet_apply_int8(qp, x, SIZES, act_scales=act)
+
+    ref = np.linalg.norm(np.asarray(feat_f32))
+    assert ref > 0.1  # the fixture must not die in the relus
+    err = np.linalg.norm(np.asarray(feat_i8) - np.asarray(feat_f32)) / ref
+    assert err < 0.03, f"{mode}: relative feature error {err}"
+
+
+def test_int8_exact_accumulation_matches_bf16_output_within_rounding():
+    # conv_out_dtype=int32 is the exact accumulator; bfloat16 rounds the
+    # written value by <= 2^-8 relative — bound the pairwise difference.
+    enc = ResNet(stage_sizes=SIZES)
+    variables = _realistic_variables(enc, jax.random.PRNGKey(2), (1, 64, 64, 3))
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 64, 3))
+    qp = quantize_resnet(variables["params"], variables["batch_stats"], SIZES)
+    act = calibrate_resnet(qp, x, SIZES)
+    f_exact = resnet_apply_int8(qp, x, SIZES, act_scales=act, conv_out_dtype=jnp.int32)
+    f_bf16 = resnet_apply_int8(qp, x, SIZES, act_scales=act)
+    ref = np.linalg.norm(np.asarray(f_exact))
+    err = np.linalg.norm(np.asarray(f_bf16) - np.asarray(f_exact)) / max(ref, 1e-9)
+    assert err < 0.02, err
+
+
+def test_hmr_int8_path_tracks_f32_outputs():
+    smpl = synthetic_model(num_verts=120, seed=0)
+    hmr = HMR(smpl, num_stage=3, joint_type="lsp", encoder_stage_sizes=SIZES4)
+    variables = hmr.init(jax.random.PRNGKey(0), img_size=64)
+    variables = {
+        "params": variables["params"],
+        "batch_stats": variables["batch_stats"],
+    }
+    mean_theta = jnp.asarray(synthetic_mean_params()[None, :])
+    images = jax.random.uniform(
+        jax.random.PRNGKey(1), (2, 64, 64, 3), minval=-1.0, maxval=1.0
+    )
+
+    qparams = hmr.quantize_encoder(variables, calibration_images=images)
+    stages_f32, _ = hmr(variables, images, mean_theta, train=False, smpl_stages="last")
+    stages_i8, _ = hmr(
+        variables,
+        images,
+        mean_theta,
+        train=False,
+        smpl_stages="last",
+        encoder_qparams=qparams,
+    )
+    j_f32 = np.asarray(stages_f32[-1].joints3d)
+    j_i8 = np.asarray(stages_i8[-1].joints3d)
+    assert np.abs(j_i8 - j_f32).max() < 0.05
+    v_f32 = np.asarray(stages_f32[-1].verts)
+    v_i8 = np.asarray(stages_i8[-1].verts)
+    assert np.abs(v_i8 - v_f32).max() < 0.05
+
+
+def test_hmr_int8_train_mode_rejected():
+    smpl = synthetic_model(num_verts=120, seed=0)
+    hmr = HMR(smpl, num_stage=1, joint_type="lsp", encoder_stage_sizes=SIZES4)
+    variables = hmr.init(jax.random.PRNGKey(0), img_size=64)
+    qparams = hmr.quantize_encoder(variables)
+    with pytest.raises(ValueError):
+        hmr(
+            variables,
+            jnp.zeros((1, 64, 64, 3)),
+            jnp.asarray(synthetic_mean_params()[None, :]),
+            train=True,
+            dropout_rng=jax.random.PRNGKey(1),
+            encoder_qparams=qparams,
+        )
+
+
+def test_predictor_encoder_int8(tmp_path):
+    from human_pose_estimation_tpu.config import Config
+    from human_pose_estimation_tpu.infer.predictor import Predictor
+
+    smpl = synthetic_model(num_verts=120, seed=0)
+    cfg = Config(img_size=64, batch_size=2, num_stage=3)
+    # Bypass checkpoint restore: hand the Predictor its variables.
+    hmr = HMR(smpl, num_stage=3, joint_type="lsp", encoder_depth=50)
+    rng = np.random.RandomState(0)
+    images = (rng.rand(2, 64, 64, 3) * 2 - 1).astype(np.float32)
+
+    # A full ResNet-50 on CPU is slow to compile; use the shallow test
+    # encoder through the HMR/Predictor seam instead.
+    class _P(Predictor):
+        pass
+
+    hmr_small = HMR(smpl, num_stage=3, joint_type="lsp", encoder_stage_sizes=SIZES4)
+    variables = hmr_small.init(jax.random.PRNGKey(0), img_size=64)
+    mean_theta = synthetic_mean_params()[None, :]
+
+    p = _P.__new__(_P)
+    p.config = cfg
+    p.batch_size = 2
+    p.outputs = None
+    p.mesh = None
+    p.smpl = smpl
+    p.hmr = hmr_small
+    p.variables = variables
+    p.mean_theta = jnp.asarray(mean_theta, jnp.float32)
+    p.encoder_qparams = hmr_small.quantize_encoder(
+        variables, calibration_images=jnp.asarray(images)
+    )
+    p._predict = jax.jit(p._predict_impl)
+
+    out = p.predict(images)
+    assert out["generated_joints"].shape == (2, 14, 3)
+    assert np.isfinite(out["generated_verts"]).all()

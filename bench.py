@@ -51,7 +51,9 @@ def main():
     # measured ~18x slower through relay attachments (PERF.md).
     qparams = None
     if int8:
-        qparams = hmr.quantize_encoder(variables, calibration_images=images[:64])
+        qparams = jax.jit(
+            lambda v, c: hmr.quantize_encoder(v, calibration_images=c)
+        )(variables, images[:64])
         qparams = jax.tree.map(jnp.asarray, jax.device_get(qparams))
 
     @jax.jit

@@ -22,13 +22,36 @@ def main(argv=None) -> None:
     p.add_argument("--out", required=True, help="artifact output path")
     p.add_argument("--platforms", default="tpu,cpu")
     p.add_argument("--export_dtype", default="uint8", choices=["uint8", "float32"])
+    p.add_argument("--calibration", default=None,
+                   help="image glob for int8 activation-scale calibration "
+                        "(with --encoder_int8 true)")
     args, rest = p.parse_known_args(argv)
     cfg = parse_config(rest)
 
     from ..infer.export import export_predictor
     from ..infer.predictor import Predictor
 
-    predictor = Predictor(cfg)
+    calib = None
+    if args.calibration:
+        from glob import glob
+
+        import cv2
+        import numpy as np
+
+        from ..utils.image import preprocess_for_inference
+
+        paths = sorted(glob(args.calibration))[:16]
+        if paths:
+            calib = np.stack(
+                [
+                    preprocess_for_inference(
+                        cv2.cvtColor(cv2.imread(p_), cv2.COLOR_BGR2RGB),
+                        cfg.img_size,
+                    )[0]
+                    for p_ in paths
+                ]
+            )
+    predictor = Predictor(cfg, calibration_images=calib)
     meta = export_predictor(
         predictor,
         args.out,

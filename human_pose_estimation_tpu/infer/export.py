@@ -51,11 +51,16 @@ def export_predictor(
     b = predictor.batch_size
     dt = jnp.uint8 if dtype == "uint8" else jnp.float32
     spec = jax.ShapeDtypeStruct((b, h, w, 3), dt)
-    exp = jexport.export(jax.jit(predictor._predict_impl), platforms=list(platforms))(
-        spec
-    )
+    # Quantized weights (when Predictor(encoder_int8=...)) bake into the
+    # artifact as constants, like the float weights.
+    qp = getattr(predictor, "encoder_qparams", None)
+    exp = jexport.export(
+        jax.jit(lambda images: predictor._predict_impl(images, qp)),
+        platforms=list(platforms),
+    )(spec)
     blob = exp.serialize()
     meta = {
+        "encoder_int8": qp is not None,
         "batch": b,
         "height": h,
         "width": w,

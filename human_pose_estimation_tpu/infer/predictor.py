@@ -88,7 +88,14 @@ class Predictor:
                 calib = jnp.asarray(calibration_images)
                 if calib.dtype == jnp.uint8:
                     calib = calib.astype(jnp.float32) / 127.5 - 1.0
-            qp = self.hmr.quantize_encoder(self.variables, calibration_images=calib)
+            # One compiled program for fold+quantize+calibrate (eager
+            # execution would dispatch per-op through the attachment).
+            if calib is None:
+                qp = jax.jit(self.hmr.quantize_encoder)(self.variables)
+            else:
+                qp = jax.jit(
+                    lambda v, c: self.hmr.quantize_encoder(v, calibration_images=c)
+                )(self.variables, calib)
             # Materialize once on host and feed as a jit argument:
             # embedding eagerly-computed arrays as closure constants is
             # ~18x slower through relay attachments (PERF.md).

@@ -309,6 +309,39 @@ def test_export_roundtrip(predictor, rng, tmp_path):
     np.testing.assert_allclose(v[0], want["generated_verts"][0], atol=1e-5)
 
 
+def test_export_roundtrip_int8(predictor, rng, tmp_path):
+    """An int8-quantized predictor exports with the quantized weights
+    baked in; the artifact matches the live int8 predictor exactly."""
+    import jax
+
+    from human_pose_estimation_tpu.infer.export import (
+        ExportedPredictor,
+        export_predictor,
+    )
+
+    calib = (rng.rand(2, 64, 64, 3) * 2 - 1).astype(np.float32)
+    predictor.encoder_qparams = predictor.hmr.quantize_encoder(
+        predictor.variables, calibration_images=calib
+    )
+    try:
+        path = str(tmp_path / "model_int8.hlo")
+        meta = export_predictor(predictor, path, platforms=("cpu",))
+        assert meta["encoder_int8"] is True
+
+        ep = ExportedPredictor(path)
+        imgs = (rng.rand(2, 64, 64, 3) * 255).astype(np.uint8)
+        got = ep.predict(imgs)
+        want = predictor.predict(imgs)
+        for k in want:
+            # Not bit-equal: the exported module compiles separately and
+            # XLA may keep f32 in registers where the live program
+            # materializes bf16 (convert-chain simplification), shifting
+            # values at the quantization-noise scale.
+            np.testing.assert_allclose(got[k], want[k], atol=5e-3, err_msg=k)
+    finally:
+        predictor.encoder_qparams = None  # shared fixture
+
+
 def test_http_server_endpoints(predictor):
     """HTTP front-end: /predict (npz + JSON formats), /healthz, request
     microbatching through BatchingPredictor."""

@@ -84,10 +84,9 @@ class Config:
     encoder_dtype: str = "bfloat16"  # MXU-friendly conv/matmul compute dtype
     encoder_depth: int = 50  # ResNet depth: 50 (reference) | 101 | 152
     # PTQ int8 encoder for inference/serving (models/quantize.py): 1.43x
-    # serving throughput on v5e at ~0.5% output drift. Calibrate with a
-    # representative batch (Predictor(calibration_images=...) or the
-    # serve CLI --calibration glob); uncalibrated falls back to dynamic
-    # activation scales, which is SLOWER than bf16.
+    # serving throughput on v5e at ~0.5% output drift. Activation scales
+    # calibrate from Predictor(calibration_images=...) / the serve CLI
+    # --calibration glob, or lazily from the first served batch.
     encoder_int8: bool = False
     max_silhouette_points: int = 2048  # padded gt pixel budget per image
     gp_mode: str = "reference"  # 'reference' | 'per_sample' (SURVEY.md §8.7)

@@ -52,10 +52,10 @@ class Predictor:
 
         encoder_int8: serve with a PTQ int8 encoder (models/quantize.py)
         — measured 1.4x serving throughput on v5e at ~0.5% output drift.
-        Pass `calibration_images` (any representative batch, e.g. the
-        warmup batch) to calibrate static activation scales: without
-        them the path falls back to dynamic scales, which is *slower*
-        than bf16 — calibrate for production."""
+        Pass `calibration_images` (any representative batch) to calibrate
+        static activation scales up front; without them the predictor
+        calibrates lazily on the FIRST served batch (one extra compiled
+        call), then serves the static fast path."""
         self.config = config
         self.batch_size = batch_size or config.batch_size
         self.outputs = tuple(outputs) if outputs else None
@@ -103,10 +103,9 @@ class Predictor:
         self._predict = jax.jit(self._predict_impl)
 
     def _predict_impl(self, images: jax.Array, qparams=None) -> Dict[str, jax.Array]:
-        if images.dtype == jnp.uint8:
-            # Serving fast path: ship uint8 (4x less host->device traffic),
-            # normalize to [-1, 1] on device.
-            images = images.astype(jnp.float32) / 127.5 - 1.0
+        # Serving fast path: ship uint8 (4x less host->device traffic),
+        # normalize to [-1, 1] on device.
+        images = self._normalize(images)
         stages, _ = self.hmr(
             self.variables,
             images,
@@ -160,7 +159,29 @@ class Predictor:
                 device_images, pmesh.batch_sharding(self.mesh)
             )
         qp = getattr(self, "encoder_qparams", None)
+        if qp is not None and qp.get("act") is None:
+            # Lazy calibration on the first real batch: the dynamic-scale
+            # int8 path is slower than bf16 (PERF.md), so never serve it —
+            # calibrate once, then every call takes the static fast path.
+            from ..models.quantize import calibrate_resnet
+
+            act = jax.jit(
+                lambda w, im: calibrate_resnet(
+                    w, im, self.hmr.encoder.stage_sizes
+                )
+            )(qp["weights"], self._normalize(device_images))
+            qp = {
+                "weights": qp["weights"],
+                "act": jax.tree.map(jnp.asarray, jax.device_get(act)),
+            }
+            self.encoder_qparams = qp
         return self._predict(device_images, qp), n
+
+    @staticmethod
+    def _normalize(images):
+        if images.dtype == jnp.uint8:
+            return images.astype(jnp.float32) / 127.5 - 1.0
+        return images
 
     def predict_fetch(self, handle) -> Dict[str, np.ndarray]:
         """Block on a `predict_async` handle. One device->host transfer

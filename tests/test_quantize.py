@@ -213,3 +213,36 @@ def test_predictor_encoder_int8(tmp_path):
     out = p.predict(images)
     assert out["generated_joints"].shape == (2, 14, 3)
     assert np.isfinite(out["generated_verts"]).all()
+
+
+def test_predictor_lazy_calibration():
+    """encoder_int8 without calibration images: the first served batch
+    calibrates the static scales (the dynamic path is never served)."""
+    from human_pose_estimation_tpu.config import Config
+    from human_pose_estimation_tpu.infer.predictor import Predictor
+
+    smpl = synthetic_model(num_verts=120, seed=0)
+    hmr = HMR(smpl, num_stage=3, joint_type="lsp", encoder_stage_sizes=SIZES4)
+    variables = hmr.init(jax.random.PRNGKey(0), img_size=64)
+
+    p = Predictor.__new__(Predictor)
+    p.config = Config(img_size=64, batch_size=2, num_stage=3)
+    p.batch_size = 2
+    p.outputs = None
+    p.mesh = None
+    p.smpl = smpl
+    p.hmr = hmr
+    p.variables = variables
+    p.mean_theta = jnp.asarray(synthetic_mean_params()[None, :], jnp.float32)
+    p.encoder_qparams = hmr.quantize_encoder(variables)  # act scales: None
+    p._predict = jax.jit(p._predict_impl)
+    assert p.encoder_qparams["act"] is None
+
+    rng = np.random.RandomState(0)
+    images = (rng.rand(2, 64, 64, 3) * 255).astype(np.uint8)
+    first = p.predict(images)
+    assert p.encoder_qparams["act"] is not None  # calibrated on first batch
+    again = p.predict(images)
+    np.testing.assert_array_equal(
+        first["generated_joints"], again["generated_joints"]
+    )

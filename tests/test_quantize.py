@@ -246,3 +246,39 @@ def test_predictor_lazy_calibration():
     np.testing.assert_array_equal(
         first["generated_joints"], again["generated_joints"]
     )
+
+
+def test_predictor_int8_data_parallel_matches_single_device():
+    """int8 serving over the 8-device CPU data mesh: quantized weights
+    replicate, batch shards, results match the single-device int8 path."""
+    from human_pose_estimation_tpu.config import Config
+    from human_pose_estimation_tpu.infer.predictor import Predictor
+    from human_pose_estimation_tpu.parallel import mesh as pmesh
+
+    smpl = synthetic_model(num_verts=120, seed=0)
+    hmr = HMR(smpl, num_stage=3, joint_type="lsp", encoder_stage_sizes=SIZES4)
+    variables = hmr.init(jax.random.PRNGKey(0), img_size=64)
+    mean_theta = jnp.asarray(synthetic_mean_params()[None, :], jnp.float32)
+    rng = np.random.RandomState(0)
+    images = (rng.rand(8, 64, 64, 3) * 2 - 1).astype(np.float32)
+    qparams = hmr.quantize_encoder(variables, calibration_images=jnp.asarray(images))
+
+    def make(batch, mesh):
+        p = Predictor.__new__(Predictor)
+        p.config = Config(img_size=64, batch_size=batch, num_stage=3)
+        p.batch_size = batch
+        p.outputs = None
+        p.mesh = mesh
+        p.smpl = smpl
+        p.hmr = hmr
+        p.variables = variables
+        p.mean_theta = mean_theta
+        p.encoder_qparams = qparams
+        p._predict = jax.jit(p._predict_impl)
+        return p
+
+    single = make(8, None).predict(images)
+    dp = make(8, pmesh.make_mesh(batch_size=8)).predict(images)
+    np.testing.assert_allclose(
+        dp["generated_joints"], single["generated_joints"], atol=1e-4
+    )

@@ -33,24 +33,9 @@ def main(argv=None) -> None:
 
     calib = None
     if args.calibration:
-        from glob import glob
+        from ..utils.image import load_calibration_images
 
-        import cv2
-        import numpy as np
-
-        from ..utils.image import preprocess_for_inference
-
-        paths = sorted(glob(args.calibration))[:16]
-        if paths:
-            calib = np.stack(
-                [
-                    preprocess_for_inference(
-                        cv2.cvtColor(cv2.imread(p_), cv2.COLOR_BGR2RGB),
-                        cfg.img_size,
-                    )[0]
-                    for p_ in paths
-                ]
-            )
+        calib = load_calibration_images(args.calibration, cfg.img_size)
     predictor = Predictor(cfg, calibration_images=calib)
     meta = export_predictor(
         predictor,

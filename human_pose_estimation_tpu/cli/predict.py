@@ -55,8 +55,7 @@ def main(argv=None) -> None:
 
     calib = None
     if cfg.encoder_int8:
-        # Calibrate the int8 activation scales on the first real images
-        # (dynamic-scale fallback is slower than bf16 — see config).
+        # Calibrate the int8 activation scales on the first real inputs.
         calib = np.stack(
             [
                 preprocess_for_inference(

@@ -50,24 +50,9 @@ def main(argv=None) -> None:
 
         calib = None
         if args.calibration:
-            import cv2
-            from glob import glob
+            from ..utils.image import load_calibration_images
 
-            from ..utils.image import preprocess_for_inference
-
-            calib_paths = sorted(glob(args.calibration))[:16]
-            if calib_paths:
-                import numpy as _np
-
-                calib = _np.stack(
-                    [
-                        preprocess_for_inference(
-                            cv2.cvtColor(cv2.imread(p_), cv2.COLOR_BGR2RGB),
-                            cfg.img_size,
-                        )[0]
-                        for p_ in calib_paths
-                    ]
-                )
+            calib = load_calibration_images(args.calibration, cfg.img_size)
         predictor = Predictor(
             cfg,
             outputs=tuple(args.outputs.split(",")) if args.outputs else None,

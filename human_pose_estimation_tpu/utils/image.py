@@ -66,3 +66,27 @@ def preprocess_for_inference(
     crop, proc_param = scale_and_crop(img, scale, center, img_size)
     norm = 2.0 * (crop.astype(np.float32) / 255.0) - 1.0
     return norm, proc_param, img
+
+
+def load_calibration_images(
+    pattern: str, img_size: int = 224, limit: int = 16
+) -> "np.ndarray | None":
+    """Load + preprocess up to `limit` images matched by a glob pattern
+    into an (N, img_size, img_size, 3) float batch in [-1, 1] — the
+    int8 activation-scale calibration input shared by the predict /
+    serve / export_model CLIs. Returns None when nothing matches."""
+    from glob import glob
+
+    import cv2
+
+    paths = sorted(glob(pattern))[:limit]
+    if not paths:
+        return None
+    return np.stack(
+        [
+            preprocess_for_inference(
+                cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB), img_size
+            )[0]
+            for p in paths
+        ]
+    )

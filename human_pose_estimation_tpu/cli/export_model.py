@@ -36,6 +36,12 @@ def main(argv=None) -> None:
         from ..utils.image import load_calibration_images
 
         calib = load_calibration_images(args.calibration, cfg.img_size)
+    if getattr(cfg, "encoder_int8", False) and calib is None:
+        raise SystemExit(
+            "--encoder_int8 exports require --calibration '<glob>' of "
+            "representative images: an uncalibrated export would bake the "
+            "dynamic-scale graph (slower than bf16, see PERF.md)."
+        )
     predictor = Predictor(cfg, calibration_images=calib)
     meta = export_predictor(
         predictor,

@@ -55,15 +55,11 @@ def main(argv=None) -> None:
 
     calib = None
     if cfg.encoder_int8:
-        # Calibrate the int8 activation scales on the first real inputs.
-        calib = np.stack(
-            [
-                preprocess_for_inference(
-                    cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB), cfg.img_size
-                )[0]
-                for path in paths[:8]
-            ]
-        )
+        # Calibrate the int8 activation scales on the first real inputs
+        # (same shared loader as the serve / export_model CLIs).
+        from ..utils.image import load_calibration_images
+
+        calib = load_calibration_images(paths, cfg.img_size)
     predictor = Predictor(cfg, calibration_images=calib)
     renderer = None
     if args.render and predictor.smpl.faces is not None:

@@ -33,8 +33,9 @@ def main(argv=None) -> None:
                         "(the 6890-vert mesh dominates response size)")
     p.add_argument("--calibration", default=None,
                    help="image glob for int8 activation-scale calibration "
-                        "(with --encoder_int8 true; uncalibrated int8 falls "
-                        "back to slower dynamic scales)")
+                        "(with --encoder_int8 true; without it, static "
+                        "scales are frozen from the FIRST real request — "
+                        "warmup never calibrates)")
     args, rest = p.parse_known_args(argv)
     cfg = parse_config(rest)
 
@@ -53,6 +54,13 @@ def main(argv=None) -> None:
             from ..utils.image import load_calibration_images
 
             calib = load_calibration_images(args.calibration, cfg.img_size)
+        if getattr(cfg, "encoder_int8", False) and calib is None:
+            print(
+                "WARNING: --encoder_int8 without --calibration — static "
+                "activation scales will be frozen from the FIRST real "
+                "request; pass --calibration '<glob>' of representative "
+                "images for stable accuracy."
+            )
         predictor = Predictor(
             cfg,
             outputs=tuple(args.outputs.split(",")) if args.outputs else None,
@@ -60,11 +68,16 @@ def main(argv=None) -> None:
         )
     # Warm the compiled executable so the first request never waits on
     # XLA compilation (a full padded batch through the real path).
+    # calibrate=False: the all-zeros warmup batch must never freeze int8
+    # activation scales — black frames are unrepresentative of traffic.
     import numpy as np
 
     size = args.decode_size or cfg.img_size
     warm = np.zeros((predictor.batch_size, size, size, 3), np.uint8)
-    predictor.predict(warm)
+    if args.artifact:
+        predictor.predict(warm)
+    else:
+        predictor.predict(warm, calibrate=False)
     print("warmup compile done")
 
     batcher = BatchingPredictor(

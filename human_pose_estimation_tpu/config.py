@@ -88,7 +88,14 @@ class Config:
     # calibrate from Predictor(calibration_images=...) / the serve CLI
     # --calibration glob, or lazily from the first served batch.
     encoder_int8: bool = False
-    max_silhouette_points: int = 2048  # padded gt pixel budget per image
+    # Padded gt silhouette pixel budget per image. The reference's mesh
+    # loss sums L1 over EVERY silhouette pixel (ref src/ops.py:117-137);
+    # a person covering ~30% of a 224^2 crop is ~15k pixels, so the cap
+    # must exceed real silhouettes or MR losses aren't comparable to the
+    # reference (measured P99 on synthetic SMPL renders at LSP crop
+    # scale: ~13k; see QUALITY.md). The chamfer kernels stream over P,
+    # so memory is flat; step time grows linearly in P.
+    max_silhouette_points: int = 16384
     gp_mode: str = "reference"  # 'reference' | 'per_sample' (SURVEY.md §8.7)
     mr_scale_mode: str = "reference"  # 'reference' | 'count' (SURVEY.md §8.9)
     # Which IEF stages get the (expensive) chamfer mesh-loss evaluated.
@@ -97,6 +104,12 @@ class Config:
     # objective (ref src/trainer.py:487-496); earlier stages log 0. Cuts
     # ~30% off the full-hybrid step (PERF.md "Mesh-loss metric stages").
     mr_metric_stages: str = "all"  # 'all' | 'last'
+    # Epoch accounting needs the training-set size; known dataset names
+    # resolve via data/tfrecords.NUM_EXAMPLES (the reference hard-codes
+    # these, ref src/data_loader.py:18-42). For custom datasets set this
+    # explicitly (>0); unknown names otherwise raise instead of silently
+    # treating one batch as an epoch.
+    num_examples_override: int = 0
     seed: int = 0
     input_pipeline: str = "tfrecord"  # 'tfrecord' | 'npz' | 'native' (C++) | 'grain'
     mesh_axis: str = "data"  # DP mesh axis name

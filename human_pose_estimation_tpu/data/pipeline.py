@@ -137,6 +137,8 @@ class ImagePipeline:
         seed: Optional[int] = None,
         shard_by_host: bool = False,
         device_preprocess: bool = True,
+        num_shards: Optional[int] = None,
+        shard_index: Optional[int] = None,
     ):
         tf = _tf()
         self.cfg = cfg
@@ -147,12 +149,21 @@ class ImagePipeline:
                 cfg.data_dir, datasets if datasets is not None else cfg.datasets
             )
         self.files = list(files)
-        if shard_by_host and jax.process_count() > 1:
-            # Multi-host DP: each host reads a disjoint file slice (the
-            # per-host half of the sharded input pipeline, SURVEY.md §2
-            # parallelism plan). Requires more files than hosts to be
-            # effective; batch_size here is the per-host batch.
-            self.files = self.files[jax.process_index() :: jax.process_count()]
+        # Multi-host DP: each host reads a disjoint input shard (the
+        # per-host half of the sharded pipeline, SURVEY.md §2 parallelism
+        # plan); batch_size here is the per-host batch. With at least one
+        # file per host, shard the FILE list; otherwise shard at the
+        # EXAMPLE level with ds.shard — the reference's LSP datasets are
+        # one .tfrecords file each (ref data_utils.py:87-90), so file
+        # slicing alone would starve all hosts but one.
+        example_shard = None  # (num, index) applied after dataset creation
+        if shard_by_host and (num_shards is None):
+            num_shards, shard_index = jax.process_count(), jax.process_index()
+        if num_shards is not None and num_shards > 1:
+            if len(self.files) >= num_shards:
+                self.files = self.files[shard_index::num_shards]
+            else:
+                example_shard = (num_shards, shard_index)
         augment = (mode == "train") if augment is None else augment
         shuffle = (mode == "train") if shuffle is None else shuffle
         repeat = (mode == "train") if repeat is None else repeat
@@ -164,6 +175,8 @@ class ImagePipeline:
         self.rng = jax.random.PRNGKey(cfg.seed if seed is None else seed)
 
         ds = tf.data.TFRecordDataset(self.files)
+        if example_shard is not None:
+            ds = ds.shard(*example_shard)
         if shuffle:
             ds = ds.shuffle(10000, seed=cfg.seed)
         if repeat:

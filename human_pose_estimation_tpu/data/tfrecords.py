@@ -46,22 +46,27 @@ def num_examples(datasets) -> int:
     return sum(NUM_EXAMPLES[d] for d in datasets)
 
 
-def record_files(data_dir: str, datasets: Sequence[str], split: str = "train"):
+def record_files(data_dir: str, datasets: Sequence[str]):
     """Resolve dataset names to tfrecord paths (ref get_all_files,
     data_utils.py:83-106 — returning actual files, fixing quirk §8.2).
 
-    h36m and mpi_inf_3dhp use the reference's sharded directory layouts
-    (data_utils.py:94-100); everything else is '<name>.tfrecords'."""
+    h36m / mpi_inf_3dhp are rejected loudly: the reference lists their
+    sharded path patterns (data_utils.py:94-100, inherited from HMR) but
+    its parse_example_proto cannot read those records' 3D-annotation
+    schema — and neither can this build's parse_image_example. Silent
+    acceptance would glob zero files and train on nothing."""
     files: List[str] = []
     for name in datasets:
-        if name == "h36m":
-            pattern = os.path.join(
-                data_dir, "tf_records_human36m_wjoints", split, "*.tfrecords"
+        if name in ("h36m", "mpi_inf_3dhp"):
+            raise ValueError(
+                f"dataset '{name}' uses HMR's 3D-annotation tfrecord "
+                "schema, which parse_image_example does not read (the "
+                "reference only carries the path pattern, ref "
+                "data_utils.py:94-100; its parser cannot read them "
+                "either). Convert to this schema with "
+                "data/tfrecords.make_image_example or extend the parser."
             )
-        elif name == "mpi_inf_3dhp":
-            pattern = os.path.join(data_dir, "mpi_inf_3dhp", split, "*.tfrecords")
-        else:
-            pattern = os.path.join(data_dir, f"{name}.tfrecords")
+        pattern = os.path.join(data_dir, f"{name}.tfrecords")
         hits = sorted(glob(pattern))
         files += hits if hits else [pattern]
     return files

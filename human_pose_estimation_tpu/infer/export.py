@@ -54,6 +54,14 @@ def export_predictor(
     # Quantized weights (when Predictor(encoder_int8=...)) bake into the
     # artifact as constants, like the float weights.
     qp = getattr(predictor, "encoder_qparams", None)
+    if qp is not None and qp.get("act") is None:
+        raise ValueError(
+            "refusing to export an UNCALIBRATED int8 predictor: it would "
+            "permanently bake the per-image dynamic-scale graph, measured "
+            "0.46x of bf16 (slower than not quantizing, PERF.md). "
+            "Calibrate first — Predictor(calibration_images=...) or "
+            "cli.export_model --calibration '<glob>'."
+        )
     exp = jexport.export(
         jax.jit(lambda images: predictor._predict_impl(images, qp)),
         platforms=list(platforms),

@@ -127,7 +127,7 @@ class Predictor:
             out = {k: out[k] for k in wanted}
         return out
 
-    def predict_async(self, images):
+    def predict_async(self, images, calibrate: bool = True):
         """Dispatch ONE compiled batch (N <= batch_size) without waiting.
 
         Returns an opaque handle for `predict_fetch`. JAX dispatch is
@@ -136,6 +136,12 @@ class Predictor:
         (collect/stack/upload) with this batch's device compute. The win
         is largest on high-latency attachments, where upload, compute and
         result download would otherwise serialize per batch.
+
+        calibrate=False marks a warmup call: an uncalibrated int8
+        predictor still compiles + runs the static-scale executable (the
+        scales are jit *arguments*, so the program is identical) but does
+        NOT freeze activation scales from this batch — so serving warmup
+        on synthetic images leaves calibration to the first real request.
         """
         images = np.asarray(images)
         if images.dtype != np.uint8:
@@ -163,18 +169,25 @@ class Predictor:
             # Lazy calibration on the first real batch: the dynamic-scale
             # int8 path is slower than bf16 (PERF.md), so never serve it —
             # calibrate once, then every call takes the static fast path.
+            # Scales come from the UNPADDED rows only (padding zeros would
+            # skew the max-abs statistics); warmup calls (calibrate=False)
+            # and empty requests compute one-off scales to drive the same
+            # compiled program but never freeze them.
             from ..models.quantize import calibrate_resnet
 
+            freeze = calibrate and n > 0
+            rows = device_images[:n] if freeze else device_images
             act = jax.jit(
                 lambda w, im: calibrate_resnet(
                     w, im, self.hmr.encoder.stage_sizes
                 )
-            )(qp["weights"], self._normalize(device_images))
+            )(qp["weights"], self._normalize(rows))
             qp = {
                 "weights": qp["weights"],
                 "act": jax.tree.map(jnp.asarray, jax.device_get(act)),
             }
-            self.encoder_qparams = qp
+            if freeze:
+                self.encoder_qparams = qp
         return self._predict(device_images, qp), n
 
     @staticmethod
@@ -191,7 +204,7 @@ class Predictor:
         out = jax.device_get(out)
         return {k: v[:n] for k, v in out.items()}
 
-    def predict(self, images) -> Dict[str, np.ndarray]:
+    def predict(self, images, calibrate: bool = True) -> Dict[str, np.ndarray]:
         """Predict on a (N, H, W, 3) image batch — float in [-1, 1], or
         uint8 (normalized on device; preferred for serving, 4x less
         host->device traffic).
@@ -200,6 +213,9 @@ class Predictor:
         executable (no recompiles in a serving loop). Oversized requests
         chunk onto that batch; all chunks are dispatched before any
         result is fetched, so their transfers overlap device compute.
+
+        calibrate=False: warmup call — never freezes lazy int8 activation
+        scales from this batch (see predict_async).
         """
         images = np.asarray(images)
         if images.dtype != np.uint8:
@@ -207,8 +223,9 @@ class Predictor:
         n = images.shape[0]
         b = self.batch_size
         handles = [
-            self.predict_async(images[s : s + b]) for s in range(0, n, b)
-        ] or [self.predict_async(images)]  # n == 0: one padded batch
+            self.predict_async(images[s : s + b], calibrate=calibrate)
+            for s in range(0, n, b)
+        ] or [self.predict_async(images, calibrate=calibrate)]  # n == 0
         parts = [self.predict_fetch(h) for h in handles]
         if len(parts) == 1:
             return parts[0]

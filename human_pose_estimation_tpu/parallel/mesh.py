@@ -55,14 +55,37 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS, dim: int = 0) -> Any:
-    """Place every array in a batch pytree with the batch dim sharded."""
+    """Place every array in a batch pytree with the batch dim sharded.
+
+    Single-process: a plain device_put with the sharded layout.
+    Multi-host (jax.process_count() > 1): each process holds its LOCAL
+    slice of the global batch (from its sharded input pipeline); the
+    per-process arrays are assembled into one global jax.Array whose
+    batch dim spans all hosts' devices — the global batch size is
+    per-host batch x process count.
+    """
     sh = batch_sharding(mesh, axis, dim)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda a: jax.make_array_from_process_local_data(sh, np.asarray(a)),
+            batch,
+        )
     return jax.tree.map(lambda a: jax.device_put(a, sh), batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Fully replicate a pytree (params / train state) over the mesh."""
+    """Fully replicate a pytree (params / train state) over the mesh.
+
+    Multi-host: every process holds the same host-local values (same seed
+    / same restored checkpoint); they are assembled into global
+    replicated arrays spanning all hosts' devices.
+    """
     sh = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda a: jax.make_array_from_process_local_data(sh, np.asarray(a)),
+            tree,
+        )
     return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
 
 

@@ -211,13 +211,24 @@ def make_train_step(hmr, critic_def, cfg: Config):
         fake_rs = jnp.concatenate([s.rotations for s in stages], axis=0)
         bone_pred = jnp.mean(jnp.sum(K.bone_lengths_sq(fake_joints, c_matrix), axis=1))
 
+        # bone_gt is a metric, not a critic input: compute it whenever
+        # mocap data is present — encoder_only + do_bone_evaluation still
+        # iterates mocap purely for this scalar (trainer.py), and it must
+        # not silently read 0 in that config.
+        bone_gt = (
+            jnp.mean(
+                jnp.sum(K.bone_lengths_sq(mocap.joints[:, :14], c_matrix), axis=1)
+            )
+            if mocap is not None
+            else jnp.zeros(())
+        )
+
         # --------------------------- critic update ------------------------
         if cfg.encoder_only or mocap is None:
             new_critic_params = state.critic_params
             new_critic_opt = state.critic_opt
             critic_loss = jnp.zeros(())
             penalty = jnp.zeros(())
-            bone_gt = jnp.zeros(())
         else:
             fakes = jax.lax.stop_gradient((fake_joints, fake_shapes, fake_rs))
             (critic_loss, penalty), critic_grads = jax.value_and_grad(
@@ -227,9 +238,6 @@ def make_train_step(hmr, critic_def, cfg: Config):
                 critic_grads, state.critic_opt, state.critic_params
             )
             new_critic_params = optax.apply_updates(state.critic_params, cupd)
-            bone_gt = jnp.mean(
-                jnp.sum(K.bone_lengths_sq(mocap.joints[:, :14], c_matrix), axis=1)
-            )
 
         new_state = state.replace(
             step=state.step + 1,

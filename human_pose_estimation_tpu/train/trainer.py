@@ -108,10 +108,19 @@ class Trainer:
             )
         self.val_step = jax.jit(make_val_step(self.hmr, self.critic, config))
 
-        try:
-            num_images = tfrecords.num_examples(config.datasets)
-        except KeyError:
-            num_images = config.batch_size  # unknown/custom dataset
+        if config.num_examples_override > 0:
+            num_images = config.num_examples_override
+        else:
+            try:
+                num_images = tfrecords.num_examples(config.datasets)
+            except KeyError as e:
+                raise ValueError(
+                    f"unknown dataset size for {e.args[0]!r}: epoch "
+                    "accounting needs the example count (the reference "
+                    "hard-codes these, ref src/data_loader.py:18-42). Add "
+                    "it to data/tfrecords.NUM_EXAMPLES or set "
+                    "--num_examples_override."
+                ) from e
         self.num_itr_per_epoch = max(num_images / config.batch_size, 1)
 
         self.writers: Dict[str, SummaryWriter] = {}
@@ -261,7 +270,11 @@ class Trainer:
                 # own round trip); scalar_log_step>1 additionally skips
                 # transfers so steps dispatch back-to-back (async).
                 cadence = max(cfg.scalar_log_step, 1)
-                do_scalars = cadence == 1 or step % cadence == 0
+                # The final step of each epoch always logs, so the epoch
+                # averages and `history` are never empty when the scalar
+                # cadence exceeds the epoch length (scalar_log_step > 1).
+                epoch_final = itr + 1 >= self.num_itr_per_epoch
+                do_scalars = cadence == 1 or step % cadence == 0 or epoch_final
                 if do_scalars:
                     if got is None:
                         got = jax.device_get(metrics)

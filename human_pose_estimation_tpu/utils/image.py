@@ -69,24 +69,31 @@ def preprocess_for_inference(
 
 
 def load_calibration_images(
-    pattern: str, img_size: int = 224, limit: int = 16
+    pattern, img_size: int = 224, limit: int = 16
 ) -> "np.ndarray | None":
-    """Load + preprocess up to `limit` images matched by a glob pattern
-    into an (N, img_size, img_size, 3) float batch in [-1, 1] — the
-    int8 activation-scale calibration input shared by the predict /
-    serve / export_model CLIs. Returns None when nothing matches."""
-    from glob import glob
-
+    """Load + preprocess up to `limit` images — from a glob pattern or an
+    explicit path list — into an (N, img_size, img_size, 3) float batch
+    in [-1, 1]: the int8 activation-scale calibration input shared by the
+    predict / serve / export_model CLIs. Unreadable files are skipped;
+    returns None when nothing loads."""
     import cv2
 
-    paths = sorted(glob(pattern))[:limit]
-    if not paths:
-        return None
-    return np.stack(
-        [
+    if isinstance(pattern, (list, tuple)):
+        paths = list(pattern)[:limit]
+    else:
+        from glob import glob
+
+        paths = sorted(glob(pattern))[:limit]
+    imgs = []
+    for p in paths:
+        raw = cv2.imread(p)
+        if raw is None:
+            continue
+        imgs.append(
             preprocess_for_inference(
-                cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB), img_size
+                cv2.cvtColor(raw, cv2.COLOR_BGR2RGB), img_size
             )[0]
-            for p in paths
-        ]
-    )
+        )
+    if not imgs:
+        return None
+    return np.stack(imgs)

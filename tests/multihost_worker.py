@@ -1,0 +1,111 @@
+"""Worker process for the 2-process CPU multi-host integration test
+(tests/test_multihost.py). Runs OUTSIDE pytest: each worker is one JAX
+process with 2 virtual CPU devices; together they form a 4-device
+data-parallel mesh spanning two hosts.
+
+    python tests/multihost_worker.py <port> <process_id> <workdir>
+
+Exercises the full multi-host path (SURVEY.md §2 parallelism plan):
+jax.distributed.initialize -> per-host sharded input pipeline (example-
+level sharding of a single tfrecord file) -> global-batch assembly ->
+DP train step (gradient all-reduce inserted by XLA) -> Orbax save
+(all processes participate) -> restore. Prints one JSON line the parent
+test asserts on.
+"""
+import json
+import os
+import sys
+
+
+def main() -> None:
+    port, pid, workdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+    )
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 4, jax.devices()
+    assert len(jax.local_devices()) == 2
+
+    import numpy as np
+
+    from human_pose_estimation_tpu.config import Config
+    from human_pose_estimation_tpu.data.pipeline import ImagePipeline, MocapPipeline
+    from human_pose_estimation_tpu.train.trainer import Trainer
+
+    cfg = Config(
+        smpl_model_path=os.path.join(workdir, "model.npz"),
+        data_dir=workdir,
+        logs=os.path.join(workdir, "logs"),
+        model_dir=os.path.join(workdir, "logs", f"mh{pid}"),
+        checkpoint_dir=os.path.join(workdir, "ckpt_mh"),
+        datasets=["lsp_16"],
+        val_datasets=["lsp_16"],
+        mocap_datasets=["CMU"],
+        img_size=48,
+        batch_size=4,  # per-host batch; global batch = 8
+        epoch=1,
+        max_silhouette_points=128,
+        use_mesh_repro_loss=True,
+        encoder_dtype="float32",
+        use_validation=False,
+        log_img_step=0,
+        checkpoint_every_epochs=10**6,
+    )
+    files = [os.path.join(workdir, "lsp_16.tfrecords")]
+    # ONE tfrecord file + 2 hosts -> example-level ds.shard path.
+    pipe = ImagePipeline(
+        cfg,
+        files=files,
+        mode="train",
+        augment=False,
+        shuffle=False,
+        repeat=True,
+        canvas=64,
+        shard_by_host=True,
+    )
+    trainer = Trainer(
+        cfg,
+        dataset=pipe,
+        val_dataset=None,
+        encoder_stage_sizes=(1, 1),
+        use_mesh=True,
+    )
+    trainer.mocap_dataset = MocapPipeline(cfg, trainer.smpl, shuffle=False)
+
+    # fingerprint of this host's local input slice (parent asserts the two
+    # hosts read DISJOINT example sets)
+    batch, _ = next(iter(pipe))
+    local_fp = float(np.abs(np.asarray(batch.images)).sum())
+
+    history = trainer.train(max_steps=2)
+    # all-reduced state: every host must end with identical parameters
+    leaves = jax.tree.leaves(trainer.state.gen_params)
+    param_fp = float(sum(np.abs(np.asarray(l)).sum() for l in leaves))
+
+    trainer.save()  # Orbax multi-process save (all processes participate)
+    restored_step = trainer.restore()
+
+    print(
+        "RESULT "
+        + json.dumps(
+            {
+                "pid": pid,
+                "local_input_fp": round(local_fp, 3),
+                "param_fp": round(param_fp, 6),
+                "kpr": [round(v, 6) for v in history["kpr"]],
+                "restored_step": restored_step,
+                "num_devices": len(jax.devices()),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""Closed-loop training-quality validation.
+
+Ground truth is generated FROM the synthetic rigged human body model
+(data/synthetic.py): sample (theta, beta, cam) -> render RGB +
+silhouette -> project keypoints -> train the full hybrid recipe
+(keypoint + mesh-reprojection + critic/WGAN-GP) -> assert pose recovery.
+
+This converts "parts are parity-exact" into "the capability works": the
+reference's only quality oracle is a licensed-data eval it cannot run
+hermetically (ref src/trainer.py:882-995, report.pdf Tables 1-2). The
+full-scale on-chip version of this experiment lives in
+benchmarks/quality_bench.py (results in QUALITY.md); this CPU-sized
+variant guards the loop itself: the recipe must measurably learn pose
+from the rendered images within a few hundred steps.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from human_pose_estimation_tpu.config import Config
+from human_pose_estimation_tpu.core.smpl import save_model_npz
+from human_pose_estimation_tpu.data.pipeline import ImagePipeline, MocapPipeline
+from human_pose_estimation_tpu.data.synthetic import generate_closed_loop_dataset
+from human_pose_estimation_tpu.train.trainer import Trainer
+from human_pose_estimation_tpu.utils.synthetic_human import synthetic_human_model
+
+IMG = 64
+N_TRAIN = 48
+N_VAL = 16
+
+
+@pytest.fixture(scope="module")
+def closed_loop_dir(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("closed_loop")
+    model = synthetic_human_model(num_verts=900, ring_size=8)
+    stats = generate_closed_loop_dataset(
+        str(tmp),
+        model,
+        n_train=N_TRAIN,
+        n_val=N_VAL,
+        n_mocap=512,
+        img_size=IMG,
+        seed=0,
+        fmt="tfrecord",
+        train_name="synth_train",
+        val_name="synth_val",
+    )
+    save_model_npz(model, str(tmp / "model.npz"))
+    return str(tmp), stats
+
+
+def test_dataset_statistics(closed_loop_dir):
+    out_dir, stats = closed_loop_dir
+    assert stats["n_train"] == N_TRAIN and stats["n_val"] == N_VAL
+    # people must actually be in frame: silhouettes are hundreds of pixels
+    # even at 64px (the 224px full-scale distribution is measured in
+    # QUALITY.md and sets the max_silhouette_points default)
+    assert stats["sil_pixels_p50"] > 100
+    gt = np.load(os.path.join(out_dir, "ground_truth.npz"))
+    assert gt["synth_train_theta"].shape == (N_TRAIN, 72)
+    assert gt["synth_val_cam"].shape == (N_VAL, 3)
+
+
+def test_full_hybrid_recipe_learns_pose(closed_loop_dir):
+    """Train the COMPLETE recipe (kp + mesh + critic + GP) a few hundred
+    steps on rendered ground truth; PCK@0.5 must improve substantially
+    and the keypoint loss must drop."""
+    out_dir, _ = closed_loop_dir
+    cfg = Config(
+        smpl_model_path=os.path.join(out_dir, "model.npz"),
+        data_dir=out_dir,
+        logs=os.path.join(out_dir, "logs"),
+        model_dir=os.path.join(out_dir, "logs", "run"),
+        checkpoint_dir=os.path.join(out_dir, "ckpt"),
+        datasets=["synth_train"],
+        val_datasets=["synth_val"],
+        mocap_datasets=["CMU"],
+        num_examples_override=N_TRAIN,
+        img_size=IMG,
+        batch_size=8,
+        epoch=1000,  # bounded by max_steps below
+        generator_lr=3e-4,
+        use_mesh_repro_loss=True,
+        use_kpr_loss=True,
+        use_gradient_penalty=True,
+        max_silhouette_points=1024,
+        encoder_dtype="float32",
+        use_validation=False,
+        log_img_step=0,
+        checkpoint_every_epochs=10**6,
+        scalar_log_step=10,
+    )
+    files = [os.path.join(out_dir, "synth_train.tfrecords")]
+    val_files = [os.path.join(out_dir, "synth_val.tfrecords")]
+    train_pipe = ImagePipeline(cfg, files=files, mode="train", canvas=IMG)
+    trainer = Trainer(
+        cfg,
+        dataset=train_pipe,
+        val_dataset=ImagePipeline(
+            cfg, files=val_files, mode="val", augment=False, canvas=IMG
+        ),
+        encoder_stage_sizes=(1, 1, 1, 1),
+    )
+    trainer.mocap_dataset = MocapPipeline(cfg, trainer.smpl, shuffle=False)
+
+    def val_pck():
+        res = trainer.validate_checkpoint(restore=False)
+        return res["pck@0.5"], res["mean_kpr_loss"]
+
+    pck0, kpr0 = val_pck()
+    history = trainer.train(max_steps=300)
+    pck1, kpr1 = val_pck()
+
+    print(f"closed loop: PCK {pck0:.3f} -> {pck1:.3f}, kpr {kpr0:.2f} -> {kpr1:.2f}")
+    assert kpr1 < 0.7 * kpr0, (kpr0, kpr1)
+    assert pck1 > pck0 + 0.15, (pck0, pck1)
+    assert np.isfinite(history["kpr"]).all()
+    # the adversarial game actually ran
+    assert len(history["critic"]) > 0 and np.isfinite(history["critic"]).all()

@@ -182,3 +182,43 @@ def test_kcs_parity_vs_reference(reference_src, rng):
         np.einsum("nii->ni", ref_kcs),
         atol=1e-5,
     )
+
+
+def test_mesh_loss_invariant_to_silhouette_cap():
+    """When the pixel budget exceeds the true silhouette size, the MR loss
+    must not depend on the cap — the reference sums over EVERY silhouette
+    pixel (ref src/ops.py:117-137), so truncation would change the gt->pred
+    sum and make MR numbers incomparable to report.pdf Tables 1-2."""
+    from human_pose_estimation_tpu.data.augment import extract_silhouette
+
+    rng = np.random.RandomState(3)
+    seg = np.zeros((2, 64, 64, 1), np.float32)
+    seg[0, 10:50, 8:40] = 1.0  # 40*32 = 1280 pixels
+    seg[1, 4:60, 20:52] = 1.0  # 56*32 = 1792 pixels
+    pred = jnp.asarray(rng.rand(2, 97, 2) * 64)
+
+    vals = []
+    for cap in (2048, 4096, 8192):
+        pts, mask = extract_silhouette(jnp.asarray(seg), cap)
+        assert float(mask[0].sum()) == 1280.0 and float(mask[1].sum()) == 1792.0
+        vals.append(
+            float(losses.mesh_reprojection_loss(pts, mask, pred, impl="xla"))
+        )
+    np.testing.assert_allclose(vals[0], vals[1], rtol=1e-6)
+    np.testing.assert_allclose(vals[0], vals[2], rtol=1e-6)
+
+
+def test_mesh_loss_truncation_changes_value():
+    """Sanity counterpart: a cap BELOW the silhouette size visibly changes
+    the loss (this is why the default budget must cover real silhouettes)."""
+    from human_pose_estimation_tpu.data.augment import extract_silhouette
+
+    rng = np.random.RandomState(4)
+    seg = np.zeros((1, 64, 64, 1), np.float32)
+    seg[0, 4:60, 4:60] = 1.0  # 3136 pixels
+    pred = jnp.asarray(rng.rand(1, 97, 2) * 64)
+    pts_full, mask_full = extract_silhouette(jnp.asarray(seg), 4096)
+    pts_cut, mask_cut = extract_silhouette(jnp.asarray(seg), 1024)
+    full = float(losses.mesh_reprojection_loss(pts_full, mask_full, pred, impl="xla"))
+    cut = float(losses.mesh_reprojection_loss(pts_cut, mask_cut, pred, impl="xla"))
+    assert abs(full - cut) / abs(full) > 0.05

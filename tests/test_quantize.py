@@ -240,12 +240,86 @@ def test_predictor_lazy_calibration():
 
     rng = np.random.RandomState(0)
     images = (rng.rand(2, 64, 64, 3) * 255).astype(np.uint8)
+
+    # Warmup semantics (calibrate=False, e.g. cli/serve's zeros batch):
+    # runs the static-path program but must NOT freeze scales.
+    warm = np.zeros((2, 64, 64, 3), np.uint8)
+    p.predict(warm, calibrate=False)
+    assert p.encoder_qparams["act"] is None  # warmup never calibrates
+
+    # An empty request must not freeze scales from all-padding either.
+    p.predict(images[:0])
+    assert p.encoder_qparams["act"] is None
+
     first = p.predict(images)
     assert p.encoder_qparams["act"] is not None  # calibrated on first batch
     again = p.predict(images)
     np.testing.assert_array_equal(
         first["generated_joints"], again["generated_joints"]
     )
+
+
+def test_predictor_lazy_calibration_uses_unpadded_rows():
+    """A first request SMALLER than the compiled batch calibrates from
+    the real rows only — padding zeros must not enter the scale stats."""
+    from human_pose_estimation_tpu.config import Config
+    from human_pose_estimation_tpu.infer.predictor import Predictor
+    from human_pose_estimation_tpu.models.quantize import calibrate_resnet
+
+    smpl = synthetic_model(num_verts=120, seed=0)
+    hmr = HMR(smpl, num_stage=3, joint_type="lsp", encoder_stage_sizes=SIZES4)
+    variables = hmr.init(jax.random.PRNGKey(0), img_size=64)
+
+    p = Predictor.__new__(Predictor)
+    p.config = Config(img_size=64, batch_size=4, num_stage=3)
+    p.batch_size = 4
+    p.outputs = None
+    p.mesh = None
+    p.smpl = smpl
+    p.hmr = hmr
+    p.variables = variables
+    p.mean_theta = jnp.asarray(synthetic_mean_params()[None, :], jnp.float32)
+    p.encoder_qparams = hmr.quantize_encoder(variables)
+    p._predict = jax.jit(p._predict_impl)
+
+    rng = np.random.RandomState(1)
+    one = (rng.rand(1, 64, 64, 3) * 2 - 1).astype(np.float32)
+    p.predict(one)  # n=1 < batch 4: pads with zeros internally
+    # Same jitted program the predictor runs, on the real row only —
+    # results must be identical. (Padding rows normalize to constant -1
+    # images whose activations would perturb the max-abs scale stats.)
+    expected = jax.device_get(
+        jax.jit(lambda w, im: calibrate_resnet(w, im, SIZES4))(
+            p.encoder_qparams["weights"], jnp.asarray(one)
+        )
+    )
+    got = jax.device_get(p.encoder_qparams["act"])
+    jax.tree.map(np.testing.assert_allclose, got, expected)
+
+
+def test_export_refuses_uncalibrated_int8():
+    from human_pose_estimation_tpu.config import Config
+    from human_pose_estimation_tpu.infer.export import export_predictor
+    from human_pose_estimation_tpu.infer.predictor import Predictor
+
+    smpl = synthetic_model(num_verts=120, seed=0)
+    hmr = HMR(smpl, num_stage=3, joint_type="lsp", encoder_stage_sizes=SIZES4)
+    variables = hmr.init(jax.random.PRNGKey(0), img_size=64)
+
+    p = Predictor.__new__(Predictor)
+    p.config = Config(img_size=64, batch_size=2, num_stage=3)
+    p.batch_size = 2
+    p.outputs = None
+    p.mesh = None
+    p.smpl = smpl
+    p.hmr = hmr
+    p.variables = variables
+    p.mean_theta = jnp.asarray(synthetic_mean_params()[None, :], jnp.float32)
+    p.encoder_qparams = hmr.quantize_encoder(variables)  # act: None
+    p._predict = jax.jit(p._predict_impl)
+
+    with pytest.raises(ValueError, match="UNCALIBRATED"):
+        export_predictor(p, "/tmp/never_written.hlo")
 
 
 def test_predictor_int8_data_parallel_matches_single_device():

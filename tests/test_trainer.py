@@ -205,3 +205,88 @@ def test_trainer_multi_step_dispatch(workdir):
     assert len(history["kpr"]) == 4  # per-step scalars from stacked metrics
     assert np.isfinite(history["kpr"]).all()
     assert int(trainer.state.step) == 4
+
+
+def test_encoder_only_bone_eval_logs_real_gt(workdir):
+    """encoder_only + do_bone_evaluation: bone_length_gt must come from
+    the mocap batch (the trainer iterates mocap solely for this metric),
+    not silently read 0 because the critic update is off."""
+    import jax as _jax
+
+    cfg = _config(
+        workdir,
+        encoder_only=True,
+        do_bone_evaluation=True,
+        checkpoint_dir=os.path.join(workdir, "ckpt_bone"),
+    )
+    files = [os.path.join(workdir, "lsp_16.tfrecords")]
+    trainer = Trainer(
+        cfg,
+        dataset=ImagePipeline(cfg, files=files, mode="train", canvas=96),
+        val_dataset=None,
+        encoder_stage_sizes=(1, 1, 1, 1),
+    )
+    mocap_pipe = MocapPipeline(cfg, trainer.smpl, shuffle=False)
+    batch, _ = next(iter(trainer.dataset))
+    mocap = next(iter(mocap_pipe))
+    _, metrics = trainer.train_step(
+        trainer.state,
+        trainer._shard(batch),
+        trainer._shard(mocap),
+        jax.random.PRNGKey(0),
+    )
+    assert float(metrics.bone_length_gt) > 0.0
+    # and the critic genuinely did not update
+    assert float(metrics.critic_loss) == 0.0
+
+
+def test_epoch_averages_survive_sparse_scalar_cadence(workdir, capsys):
+    """scalar_log_step > steps-per-epoch: the epoch-final step still logs,
+    so `history` and the printed epoch averages are never empty."""
+    cfg = _config(
+        workdir,
+        scalar_log_step=100,  # >> 4 steps/epoch
+        checkpoint_dir=os.path.join(workdir, "ckpt_cadence"),
+        use_validation=False,
+    )
+    files = [os.path.join(workdir, "lsp_16.tfrecords")]
+    trainer = Trainer(
+        cfg,
+        dataset=ImagePipeline(cfg, files=files, mode="train", canvas=96),
+        val_dataset=None,
+        encoder_stage_sizes=(1, 1, 1, 1),
+    )
+    trainer.mocap_dataset = MocapPipeline(cfg, trainer.smpl, shuffle=False)
+    history = trainer.train(max_steps=4)  # exactly one epoch
+    assert len(history["kpr"]) >= 1  # the epoch-final step logged
+    out = capsys.readouterr().out
+    assert "average losses: kpr=" in out
+
+
+def test_unknown_dataset_size_raises_not_silent(workdir):
+    cfg = _config(workdir, datasets=["my_custom_set"])
+    with pytest.raises(ValueError, match="num_examples_override"):
+        Trainer(
+            cfg,
+            dataset=None,
+            val_dataset=None,
+            validation_only=True,
+            encoder_stage_sizes=(1, 1, 1, 1),
+        )
+    # the documented escape hatch
+    cfg2 = _config(workdir, datasets=["my_custom_set"], num_examples_override=32)
+    t = Trainer(
+        cfg2,
+        dataset=None,
+        val_dataset=None,
+        validation_only=True,
+        encoder_stage_sizes=(1, 1, 1, 1),
+    )
+    assert t.num_itr_per_epoch == 8  # 32 / batch 4
+
+
+def test_h36m_pattern_rejected_loudly(tmp_path):
+    with pytest.raises(ValueError, match="h36m"):
+        tfrecords.record_files(str(tmp_path), ["h36m"])
+    with pytest.raises(ValueError, match="mpi_inf_3dhp"):
+        tfrecords.record_files(str(tmp_path), ["mpi_inf_3dhp"])

@@ -89,12 +89,14 @@ class Config:
     # --calibration glob, or lazily from the first served batch.
     encoder_int8: bool = False
     # Padded gt silhouette pixel budget per image. The reference's mesh
-    # loss sums L1 over EVERY silhouette pixel (ref src/ops.py:117-137);
-    # a person covering ~30% of a 224^2 crop is ~15k pixels, so the cap
-    # must exceed real silhouettes or MR losses aren't comparable to the
-    # reference (measured P99 on synthetic SMPL renders at LSP crop
-    # scale: ~13k; see QUALITY.md). The chamfer kernels stream over P,
-    # so memory is flat; step time grows linearly in P.
+    # loss sums L1 over EVERY silhouette pixel (ref src/ops.py:117-137),
+    # so the cap must exceed real silhouettes or MR losses aren't
+    # comparable to the reference. Measured on synthetic rigged-human
+    # renders at LSP crop scale (256px): mean 4.1k / p99 9.2k / max 10.2k
+    # pixels (QUALITY.md); clothed real humans run larger, so the default
+    # budget is 16384. Nearly free: the Pallas chamfer kernels gate each
+    # pixel tile on a per-image last-active count, so cost tracks the
+    # TRUE silhouette size, not the budget (PERF.md).
     max_silhouette_points: int = 16384
     gp_mode: str = "reference"  # 'reference' | 'per_sample' (SURVEY.md §8.7)
     mr_scale_mode: str = "reference"  # 'reference' | 'count' (SURVEY.md §8.9)

@@ -20,6 +20,14 @@ opportunity in this model):
 
 Exact distance ties resolve first-index-wins (an iota-carrying masked
 min), matching the reference's tf.argmin selections (src/ops.py:64-71).
+
+Cost is proportional to the TRUE silhouette size, not the padded budget:
+a scalar-prefetched per-image "last active pixel" count gates each grid
+step, so tiles past the final valid pixel skip their (C, V) compute
+entirely (their mask is all zero — skipping is exactly a no-op). This is
+what makes a generous ``max_silhouette_points`` (16384, covering every
+real silhouette — see QUALITY.md) nearly free: the kernel only pays for
+pixels that exist.
 """
 from __future__ import annotations
 
@@ -34,7 +42,18 @@ IBIG = 2**30  # integer sentinel for index-carrying mins (plain int so
 # kernels don't capture a traced constant)
 
 
-def _kernel(gt_ref, mask_ref, pred_ref, l1_ref, vmin_ref):
+def _last_active(gt_mask: jax.Array) -> jax.Array:
+    """(N,) int32 index one past the last valid pixel per image (0 when
+    empty). Correct for ARBITRARY masks — for the production prefix masks
+    (data/augment.extract_silhouette packs valid pixels first) this is
+    simply the pixel count."""
+    p = gt_mask.shape[1]
+    any_valid = jnp.any(gt_mask > 0, axis=1)
+    last = p - jnp.argmax(gt_mask[:, ::-1] > 0, axis=1)
+    return jnp.where(any_valid, last, 0).astype(jnp.int32)
+
+
+def _kernel(count_ref, gt_ref, mask_ref, pred_ref, l1_ref, vmin_ref, *, c):
     """Every intermediate is kept 2-D: Mosaic's vector layouts want
     (sublane, lane) shapes — 1-D slices/reductions hit unsupported
     relayouts. The input layouts are chosen so both broadcast operands
@@ -42,57 +61,63 @@ def _kernel(gt_ref, mask_ref, pred_ref, l1_ref, vmin_ref):
       gt   (1, C, 2) block -> gx = [:, 0:1] is (C, 1)
       pred (1, 2, V) block -> px = [0:1, :] is (1, V)
       mask (1, C, 1) block -> (C, 1)
+    count_ref: scalar-prefetched (N,) last-active-pixel counts; tiles at
+    or past the count carry only masked-out pixels and are skipped
+    (pt == 0 always runs: it initializes the accumulators).
     """
     from jax.experimental import pallas as pl
 
+    b = pl.program_id(0)
     pt = pl.program_id(1)
 
-    gx = gt_ref[0, :, 0:1]  # (C, 1)
-    gy = gt_ref[0, :, 1:2]
-    px = pred_ref[0, 0:1, :]  # (1, V)
-    py = pred_ref[0, 1:2, :]
-    mask = mask_ref[0, :, :]  # (C, 1)
+    @pl.when(jnp.logical_or(pt == 0, pt * c < count_ref[b]))
+    def _active():
+        gx = gt_ref[0, :, 0:1]  # (C, 1)
+        gy = gt_ref[0, :, 1:2]
+        px = pred_ref[0, 0:1, :]  # (1, V)
+        py = pred_ref[0, 1:2, :]
+        mask = mask_ref[0, :, :]  # (C, 1)
 
-    dx = gx - px  # (C, V)
-    dy = gy - py
-    d = dx * dx + dy * dy
+        dx = gx - px  # (C, V)
+        dy = gy - py
+        d = dx * dx + dy * dy
 
-    # --- pred -> gt: running per-vertex min over masked pixels ----------
-    d_row_masked = jnp.where(mask > 0, d, BIG)
-    tile_min = jnp.min(d_row_masked, axis=0, keepdims=True)  # (1, V)
+        # --- pred -> gt: running per-vertex min over masked pixels ------
+        d_row_masked = jnp.where(mask > 0, d, BIG)
+        tile_min = jnp.min(d_row_masked, axis=0, keepdims=True)  # (1, V)
 
-    @pl.when(pt == 0)
-    def _():
-        vmin_ref[0, :, :] = tile_min
+        @pl.when(pt == 0)
+        def _():
+            vmin_ref[0, :, :] = tile_min
 
-    @pl.when(pt > 0)
-    def _():
-        vmin_ref[0, :, :] = jnp.minimum(vmin_ref[0, :, :], tile_min)
+        @pl.when(pt > 0)
+        def _():
+            vmin_ref[0, :, :] = jnp.minimum(vmin_ref[0, :, :], tile_min)
 
-    # --- gt -> pred: L1 of the (first) L2-nearest vertex, masked sum ----
-    # (iotas must be integer for Mosaic's tpu.iota; IBIG is the int
-    # sentinel playing BIG's role in the index-carrying min.)
-    dmin = jnp.min(d, axis=1, keepdims=True)  # (C, 1)
-    iv = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)  # (C, V)
-    idx_near = jnp.min(
-        jnp.where(d <= dmin, iv, IBIG), axis=1, keepdims=True
-    )  # (C, 1) first tied vertex index
-    l1 = jnp.abs(dx) + jnp.abs(dy)
-    l1_near = jnp.min(
-        jnp.where(iv == idx_near, l1, BIG), axis=1, keepdims=True
-    )  # (C, 1)
-    tile_l1 = jnp.sum(l1_near * mask)  # full 2-D -> scalar reduce
+        # --- gt -> pred: L1 of the (first) L2-nearest vertex, masked sum
+        # (iotas must be integer for Mosaic's tpu.iota; IBIG is the int
+        # sentinel playing BIG's role in the index-carrying min.)
+        dmin = jnp.min(d, axis=1, keepdims=True)  # (C, 1)
+        iv = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)  # (C, V)
+        idx_near = jnp.min(
+            jnp.where(d <= dmin, iv, IBIG), axis=1, keepdims=True
+        )  # (C, 1) first tied vertex index
+        l1 = jnp.abs(dx) + jnp.abs(dy)
+        l1_near = jnp.min(
+            jnp.where(iv == idx_near, l1, BIG), axis=1, keepdims=True
+        )  # (C, 1)
+        tile_l1 = jnp.sum(l1_near * mask)  # full 2-D -> scalar reduce
 
-    # Scalar accumulation as a broadcast lane-vector store (scalar VMEM
-    # stores are rejected; sub-(8,128) 2-D output blocks as well, hence
-    # the (1, 1, 128) accumulator row).
-    @pl.when(pt == 0)
-    def _():
-        l1_ref[0, :, :] = jnp.full((1, 128), tile_l1, dtype=jnp.float32)
+        # Scalar accumulation as a broadcast lane-vector store (scalar
+        # VMEM stores are rejected; sub-(8,128) 2-D output blocks as
+        # well, hence the (1, 1, 128) accumulator row).
+        @pl.when(pt == 0)
+        def _():
+            l1_ref[0, :, :] = jnp.full((1, 128), tile_l1, dtype=jnp.float32)
 
-    @pl.when(pt > 0)
-    def _():
-        l1_ref[0, :, :] = l1_ref[0, :, :] + tile_l1
+        @pl.when(pt > 0)
+        def _():
+            l1_ref[0, :, :] = l1_ref[0, :, :] + tile_l1
 
 
 def _chamfer_forward(
@@ -126,25 +151,30 @@ def _chamfer_forward(
 
     num_pt = gt_p.shape[1] // c
     grid = (n, num_pt)
+    counts = _last_active(gt_mask)
 
-    l1_sum, vert_min = pl.pallas_call(
-        _kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, c, 2), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, 1), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, vp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, 2), lambda b, t, counts: (b, t, 0)),
+            pl.BlockSpec((1, c, 1), lambda b, t, counts: (b, t, 0)),
+            pl.BlockSpec((1, 2, vp), lambda b, t, counts: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 128), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, vp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda b, t, counts: (b, 0, 0)),
+            pl.BlockSpec((1, 1, vp), lambda b, t, counts: (b, 0, 0)),
         ],
+    )
+    l1_sum, vert_min = pl.pallas_call(
+        functools.partial(_kernel, c=c),
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n, 1, 128), f32),
             jax.ShapeDtypeStruct((n, 1, vp), f32),
         ],
         interpret=interpret,
-    )(gt_p, mask_p, pred_t)
+    )(counts, gt_p, mask_p, pred_t)
 
     has_gt = jnp.sum(gt_mask, axis=-1) > 0
     vmin = vert_min[:, 0, :v]
@@ -154,15 +184,17 @@ def _chamfer_forward(
 
 
 def _bwd_kernel(
-    gt_ref, mask_ref, pred_ref, l1gx_ref, l1gy_ref, vmin_ref, bx_ref, by_ref,
-    l1v_ref=None,
+    count_ref, gt_ref, mask_ref, pred_ref,
+    l1gx_ref, l1gy_ref, vmin_ref, bx_ref, by_ref,
+    l1v_ref=None, *, c,
 ):
     """Backward-pass streaming kernel (same tiling/layouts as _kernel).
 
     Per pixel tile, accumulates the gt->pred L1 gradient columns
     (first-index nearest assignment x -sign(diff)) and tracks the running
     per-vertex nearest-pixel coordinates for the pred->gt L2 gradient —
-    all 2-D, gather-free.
+    all 2-D, gather-free. Tiles past the last active pixel are skipped
+    (count_ref, same contract as _kernel).
 
     With ``l1v_ref`` (the train-path variant) it ALSO accumulates the
     forward gt->pred L1 value from the same distance tile, so training
@@ -171,64 +203,69 @@ def _bwd_kernel(
     """
     from jax.experimental import pallas as pl
 
+    b = pl.program_id(0)
     pt = pl.program_id(1)
 
-    gx = gt_ref[0, :, 0:1]  # (C, 1)
-    gy = gt_ref[0, :, 1:2]
-    px = pred_ref[0, 0:1, :]  # (1, V)
-    py = pred_ref[0, 1:2, :]
-    mask = mask_ref[0, :, :]  # (C, 1)
+    @pl.when(jnp.logical_or(pt == 0, pt * c < count_ref[b]))
+    def _active():
+        gx = gt_ref[0, :, 0:1]  # (C, 1)
+        gy = gt_ref[0, :, 1:2]
+        px = pred_ref[0, 0:1, :]  # (1, V)
+        py = pred_ref[0, 1:2, :]
+        mask = mask_ref[0, :, :]  # (C, 1)
 
-    dx = gx - px  # (C, V) = g - p
-    dy = gy - py
-    d = dx * dx + dy * dy
+        dx = gx - px  # (C, V) = g - p
+        dy = gy - py
+        d = dx * dx + dy * dy
 
-    # gt -> pred: first-index nearest assignment, column-accumulated.
-    dmin = jnp.min(d, axis=1, keepdims=True)  # (C, 1)
-    iv = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)  # (C, V)
-    idx_near = jnp.min(jnp.where(d <= dmin, iv, IBIG), axis=1, keepdims=True)
-    a = (iv == idx_near).astype(jnp.float32) * mask  # (C, V) one-hot rows
-    tile_gx = jnp.sum(a * -jnp.sign(dx), axis=0, keepdims=True)  # (1, V)
-    tile_gy = jnp.sum(a * -jnp.sign(dy), axis=0, keepdims=True)
+        # gt -> pred: first-index nearest assignment, column-accumulated.
+        dmin = jnp.min(d, axis=1, keepdims=True)  # (C, 1)
+        iv = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)  # (C, V)
+        idx_near = jnp.min(jnp.where(d <= dmin, iv, IBIG), axis=1, keepdims=True)
+        a = (iv == idx_near).astype(jnp.float32) * mask  # (C, V) one-hot rows
+        tile_gx = jnp.sum(a * -jnp.sign(dx), axis=0, keepdims=True)  # (1, V)
+        tile_gy = jnp.sum(a * -jnp.sign(dy), axis=0, keepdims=True)
 
-    # pred -> gt: running masked min + first-pixel coordinate selection
-    # (across tiles the strict `<` take keeps the earlier tile's pixel).
-    d_masked = jnp.where(mask > 0, d, BIG)
-    tmin = jnp.min(d_masked, axis=0, keepdims=True)  # (1, V)
-    is_min = d_masked <= tmin
-    ir = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)  # (C, V)
-    row_near = jnp.min(jnp.where(is_min, ir, IBIG), axis=0, keepdims=True)
-    sel = ir == row_near  # one row per column
-    tx = jnp.min(jnp.where(sel, gx, BIG), axis=0, keepdims=True)
-    ty = jnp.min(jnp.where(sel, gy, BIG), axis=0, keepdims=True)
+        # pred -> gt: running masked min + first-pixel coordinate selection
+        # (across tiles the strict `<` take keeps the earlier tile's pixel).
+        d_masked = jnp.where(mask > 0, d, BIG)
+        tmin = jnp.min(d_masked, axis=0, keepdims=True)  # (1, V)
+        is_min = d_masked <= tmin
+        ir = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)  # (C, V)
+        row_near = jnp.min(jnp.where(is_min, ir, IBIG), axis=0, keepdims=True)
+        sel = ir == row_near  # one row per column
+        tx = jnp.min(jnp.where(sel, gx, BIG), axis=0, keepdims=True)
+        ty = jnp.min(jnp.where(sel, gy, BIG), axis=0, keepdims=True)
 
-    if l1v_ref is not None:
-        # Forward value: masked sum of L1-of-the-L2-nearest (identical
-        # formulas to _kernel's gt->pred path).
-        l1 = jnp.abs(dx) + jnp.abs(dy)
-        l1_near = jnp.min(jnp.where(iv == idx_near, l1, BIG), axis=1, keepdims=True)
-        tile_l1 = jnp.sum(l1_near * mask)
-
-    @pl.when(pt == 0)
-    def _():
-        l1gx_ref[0, :, :] = tile_gx
-        l1gy_ref[0, :, :] = tile_gy
-        vmin_ref[0, :, :] = tmin
-        bx_ref[0, :, :] = tx
-        by_ref[0, :, :] = ty
         if l1v_ref is not None:
-            l1v_ref[0, :, :] = jnp.full((1, 128), tile_l1, dtype=jnp.float32)
+            # Forward value: masked sum of L1-of-the-L2-nearest (identical
+            # formulas to _kernel's gt->pred path).
+            l1 = jnp.abs(dx) + jnp.abs(dy)
+            l1_near = jnp.min(
+                jnp.where(iv == idx_near, l1, BIG), axis=1, keepdims=True
+            )
+            tile_l1 = jnp.sum(l1_near * mask)
 
-    @pl.when(pt > 0)
-    def _():
-        l1gx_ref[0, :, :] = l1gx_ref[0, :, :] + tile_gx
-        l1gy_ref[0, :, :] = l1gy_ref[0, :, :] + tile_gy
-        take = tmin < vmin_ref[0, :, :]
-        bx_ref[0, :, :] = jnp.where(take, tx, bx_ref[0, :, :])
-        by_ref[0, :, :] = jnp.where(take, ty, by_ref[0, :, :])
-        vmin_ref[0, :, :] = jnp.minimum(vmin_ref[0, :, :], tmin)
-        if l1v_ref is not None:
-            l1v_ref[0, :, :] = l1v_ref[0, :, :] + tile_l1
+        @pl.when(pt == 0)
+        def _():
+            l1gx_ref[0, :, :] = tile_gx
+            l1gy_ref[0, :, :] = tile_gy
+            vmin_ref[0, :, :] = tmin
+            bx_ref[0, :, :] = tx
+            by_ref[0, :, :] = ty
+            if l1v_ref is not None:
+                l1v_ref[0, :, :] = jnp.full((1, 128), tile_l1, dtype=jnp.float32)
+
+        @pl.when(pt > 0)
+        def _():
+            l1gx_ref[0, :, :] = l1gx_ref[0, :, :] + tile_gx
+            l1gy_ref[0, :, :] = l1gy_ref[0, :, :] + tile_gy
+            take = tmin < vmin_ref[0, :, :]
+            bx_ref[0, :, :] = jnp.where(take, tx, bx_ref[0, :, :])
+            by_ref[0, :, :] = jnp.where(take, ty, by_ref[0, :, :])
+            vmin_ref[0, :, :] = jnp.minimum(vmin_ref[0, :, :], tmin)
+            if l1v_ref is not None:
+                l1v_ref[0, :, :] = l1v_ref[0, :, :] + tile_l1
 
 
 def _run_bwd_kernel(
@@ -255,26 +292,31 @@ def _run_bwd_kernel(
     pred_t = jnp.pad(pred_t, ((0, 0), (0, 0), (0, vp - v)), constant_values=1e15)
 
     grid = (n, gt_p.shape[1] // c)
-    row_spec = pl.BlockSpec((1, 1, vp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM)
+    counts = _last_active(gt_mask)
+    row_spec = pl.BlockSpec((1, 1, vp), lambda b, t, counts: (b, 0, 0))
     out_specs = [row_spec] * 5
     out_shape = [jax.ShapeDtypeStruct((n, 1, vp), f32)] * 5
     if with_value:
         out_specs.append(
-            pl.BlockSpec((1, 1, 128), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, 1, 128), lambda b, t, counts: (b, 0, 0))
         )
         out_shape.append(jax.ShapeDtypeStruct((n, 1, 128), f32))
-    outs = pl.pallas_call(
-        _bwd_kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, c, 2), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, 1), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, vp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, 2), lambda b, t, counts: (b, t, 0)),
+            pl.BlockSpec((1, c, 1), lambda b, t, counts: (b, t, 0)),
+            pl.BlockSpec((1, 2, vp), lambda b, t, counts: (b, 0, 0)),
         ],
         out_specs=out_specs,
+    )
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, c=c),
+        grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(gt_p, mask_p, pred_t)
+    )(counts, gt_p, mask_p, pred_t)
     l1gx, l1gy, vmin, bx, by = outs[:5]
 
     l1_grad = jnp.stack([l1gx[:, 0, :v], l1gy[:, 0, :v]], axis=-1)  # (N, V, 2)

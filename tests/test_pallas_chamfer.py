@@ -3,6 +3,8 @@ the CPU mesh; the compiled path runs on real TPU via the benchmark)."""
 import numpy as np
 import pytest
 
+import jax
+
 import jax.numpy as jnp
 
 from human_pose_estimation_tpu.ops.losses import chamfer_loss
@@ -214,3 +216,45 @@ def test_pallas_gradient_empty_mask_is_zero(rng):
     pred = jnp.asarray((rng.rand(1, 6, 2) * 10).astype(np.float32))
     g = jax.grad(lambda p: jnp.sum(chamfer_pallas(gt, mask, p, 8, True)))(pred)
     np.testing.assert_allclose(np.asarray(g), np.zeros_like(np.asarray(g)))
+
+
+def test_chunk_skip_correct_for_non_prefix_masks():
+    """The per-image last-active-pixel gate must not skip valid pixels
+    that sit BEYOND large masked gaps (production masks are prefixes, but
+    the kernel contract allows arbitrary masks)."""
+    rng = np.random.RandomState(11)
+    n, p, v = 2, 1024, 33
+    gt = jnp.asarray(rng.rand(n, p, 2).astype(np.float32) * 64)
+    pred = jnp.asarray(rng.rand(n, v, 2).astype(np.float32) * 64)
+    mask = np.zeros((n, p), np.float32)
+    mask[0, :17] = 1.0
+    mask[0, p - 1] = 1.0  # lone valid pixel in the very last tile
+    mask[1, 500:540] = 1.0  # island in the middle, empty tail
+    mask = jnp.asarray(mask)
+
+    ours = chamfer_pallas(gt, mask, pred, 128, True)
+    ref = chamfer_loss(gt, mask, pred, chunk_size=64)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-5)
+
+    # gradients agree too (the backward kernel shares the gate)
+    g_ours = jax.grad(lambda q: jnp.sum(chamfer_pallas(gt, mask, q, 128, True)))(pred)
+    g_ref = jax.grad(lambda q: jnp.sum(chamfer_loss(gt, mask, q)))(pred)
+    np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref), atol=1e-4)
+
+
+def test_empty_and_full_budget_invariance():
+    """A silhouette occupying a small prefix of a HUGE budget gives the
+    same value as the tight budget (the gate skips the padded tail)."""
+    rng = np.random.RandomState(12)
+    pred = jnp.asarray(rng.rand(1, 50, 2).astype(np.float32) * 32)
+    pts_small = rng.rand(1, 256, 2).astype(np.float32) * 32
+    mask_small = np.zeros((1, 256), np.float32)
+    mask_small[0, :199] = 1.0
+    big_p = 4096
+    pts_big = np.zeros((1, big_p, 2), np.float32)
+    pts_big[:, :256] = pts_small
+    mask_big = np.zeros((1, big_p), np.float32)
+    mask_big[:, :256] = mask_small
+    a = chamfer_pallas(jnp.asarray(pts_small), jnp.asarray(mask_small), pred, 128, True)
+    b = chamfer_pallas(jnp.asarray(pts_big), jnp.asarray(mask_big), pred, 128, True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

@@ -81,7 +81,7 @@ class NpzShardSource:
         return z["jpeg"][j], z["png"][j], z["label"][j], z["center"][j]
 
 
-def _decode_example(example, canvas: int) -> Dict[str, np.ndarray]:
+def _decode_example(example, canvas: int, window_half=None) -> Dict[str, np.ndarray]:
     """Host decode + fit-to-canvas -> fixed-shape HostBatch row."""
     import cv2
 
@@ -92,7 +92,7 @@ def _decode_example(example, canvas: int) -> Dict[str, np.ndarray]:
     )
     seg = cv2.imdecode(np.frombuffer(png, np.uint8), cv2.IMREAD_GRAYSCALE)
     img_c, seg_c, label, center, hw = _fit_to_canvas_np(
-        img, seg, label, center, canvas
+        img, seg, label, center, canvas, window_half=window_half
     )
     return {
         "image": img_c,
@@ -145,6 +145,9 @@ class GrainImagePipeline:
         self.shuffle = (mode == "train") if shuffle is None else shuffle
         self.repeat = (mode == "train") if repeat is None else repeat
         self.prep = DevicePreprocessor(cfg, augment=self.augment)
+        from .pipeline import person_window_half
+
+        window_half = person_window_half(cfg, self.augment)
         seed = cfg.seed if seed is None else seed
         self.rng_key = jax.random.PRNGKey(seed)
         self._step = 0
@@ -157,7 +160,7 @@ class GrainImagePipeline:
             ds = ds.shuffle()  # stateless; reshuffles every epoch
         if self.repeat:
             ds = ds.repeat()
-        ds = ds.map(lambda ex: _decode_example(ex, canvas))
+        ds = ds.map(lambda ex: _decode_example(ex, canvas, window_half))
         # grain's default batch_fn tree-stacks the dict rows
         ds = ds.batch(self.batch_size, drop_remainder=self.repeat)
         it_ds = ds.to_iter_dataset(

@@ -65,6 +65,9 @@ class NativeImagePipeline:
             if device_preprocess
             else None
         )
+        from .pipeline import person_window_half
+
+        self.window_half = person_window_half(cfg, self.augment)
         self.rng_key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
         self.np_rng = np.random.RandomState(cfg.seed if seed is None else seed)
 
@@ -85,8 +88,16 @@ class NativeImagePipeline:
         n = len(idx)
         jpegs = [self._examples[i][0] for i in idx]
         pngs = [self._examples[i][1] for i in idx]
-        img, seg, hw, orig_hw, _scale, err = decode_fit_batch(
-            jpegs, pngs, self.canvas, num_threads=self.num_threads
+        centers_src = np.stack(
+            [np.asarray(self._examples[i][3], np.int32) for i in idx]
+        )
+        img, seg, hw, win_hw, off_yx, _scale, err = decode_fit_batch(
+            jpegs,
+            pngs,
+            self.canvas,
+            num_threads=self.num_threads,
+            centers=centers_src,
+            window_half=self.window_half,
         )
         if (err != 0).any():
             bad = [int(i) for i, e in zip(idx, err) if e]
@@ -95,13 +106,24 @@ class NativeImagePipeline:
         center = np.zeros((n, 2), np.int32)
         for k, i in enumerate(idx):
             lab = np.asarray(self._examples[i][2], np.float32)
-            # float64 new/orig ratios: bit-identical geometry with the
+            # float64 new/window ratios: bit-identical geometry with the
             # cv2/numpy path (_fit_to_canvas_np), incl. int truncation.
-            fy = hw[k, 0] / orig_hw[k, 0]
-            fx = hw[k, 1] / orig_hw[k, 1]
-            label[k] = np.stack([lab[0] * fx, lab[1] * fy, lab[2]], axis=0)
+            # Geometry shifts into window coords (off) before rescaling.
+            fy = hw[k, 0] / win_hw[k, 0]
+            fx = hw[k, 1] / win_hw[k, 1]
+            label[k] = np.stack(
+                [
+                    (lab[0] - off_yx[k, 1]) * fx,
+                    (lab[1] - off_yx[k, 0]) * fy,
+                    lab[2],
+                ],
+                axis=0,
+            )
             c = self._examples[i][3]
-            center[k] = (int(c[0] * fx), int(c[1] * fy))
+            center[k] = (
+                int((c[0] - off_yx[k, 1]) * fx),
+                int((c[1] - off_yx[k, 0]) * fy),
+            )
 
         pad = self.batch_size - n
         if pad:

@@ -74,11 +74,26 @@ def convert_images_to_npz_shard(out_path: str, pairs, joints: np.ndarray) -> int
     )
 
 
-def _fit_to_canvas_np(img, seg, label, center, canvas: int):
-    """numpy/cv2 twin of pipeline._fit_to_canvas (same geometry)."""
+def _fit_to_canvas_np(img, seg, label, center, canvas: int, window_half=None):
+    """numpy/cv2 twin of pipeline._fit_to_canvas (same geometry,
+    including the source-resolution person-window pre-crop)."""
     import cv2
 
     h, w = img.shape[:2]
+    if window_half is not None and window_half > 0:
+        cx, cy = int(center[0]), int(center[1])
+        x0 = min(max(cx - window_half, 0), max(w - 1, 0))
+        y0 = min(max(cy - window_half, 0), max(h - 1, 0))
+        x1 = max(min(w, cx + window_half), x0 + 1)
+        y1 = max(min(h, cy + window_half), y0 + 1)
+        if (x0, y0, x1, y1) != (0, 0, w, h):
+            img = img[y0:y1, x0:x1]
+            seg = seg[y0:y1, x0:x1]
+            label = np.stack(
+                [label[0] - x0, label[1] - y0, label[2]], axis=0
+            )
+            center = np.asarray([cx - x0, cy - y0], np.int32)
+            h, w = img.shape[:2]
     scale = min(1.0, canvas / max(h, w))
     new_h, new_w = int(np.floor(h * scale)), int(np.floor(w * scale))
     if (new_h, new_w) != (h, w):
@@ -118,6 +133,9 @@ class NpzImagePipeline:
         self.shuffle = (mode == "train") if shuffle is None else shuffle
         self.repeat = (mode == "train") if repeat is None else repeat
         self.prep = DevicePreprocessor(cfg, augment=self.augment)
+        from .pipeline import person_window_half
+
+        self.window_half = person_window_half(cfg, self.augment)
         self.rng_key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
         self.np_rng = np.random.RandomState(cfg.seed if seed is None else seed)
 
@@ -138,7 +156,9 @@ class NpzImagePipeline:
             cv2.COLOR_BGR2RGB,
         )
         seg = cv2.imdecode(np.frombuffer(png, np.uint8), cv2.IMREAD_GRAYSCALE)
-        return _fit_to_canvas_np(img, seg, label, center, self.canvas)
+        return _fit_to_canvas_np(
+            img, seg, label, center, self.canvas, window_half=self.window_half
+        )
 
     def __iter__(self) -> Iterator:
         step = 0

@@ -37,6 +37,20 @@ def _tf():
     return tf
 
 
+def person_window_half(cfg: Config, augment: bool) -> int:
+    """Half-extent of the source-resolution person window that covers
+    every possible device-side crop: the img_size-crop at min scale spans
+    img_size/scale_min source pixels, plus center jitter and rounding
+    slack. Shared by all four host pipelines so their geometry agrees."""
+    if augment:
+        return int(
+            np.ceil(cfg.img_size / (2.0 * min(cfg.scale_min, 1.0)))
+            + cfg.trans_max
+            + 4
+        )
+    return int(np.ceil(cfg.img_size / 2.0) + 4)
+
+
 class DevicePreprocessor:
     """The jit-compiled device half of the input pipeline."""
 
@@ -69,16 +83,43 @@ class DevicePreprocessor:
         )
 
 
-def _fit_to_canvas(tf, parsed, canvas: int):
-    """Scale-to-fit oversized images, then place into a fixed uint8 canvas
-    (top-left); geometry (kp/center) is rescaled identically so the
-    device-side crop math sees an equivalent original."""
+def _fit_to_canvas(tf, parsed, canvas: int, window_half=None):
+    """Crop a person window at SOURCE resolution, then scale-to-fit into a
+    fixed uint8 canvas (top-left); geometry (kp/center) is shifted and
+    rescaled identically so the device-side crop math sees an equivalent
+    original.
+
+    window_half: half-extent (pixels) of the window around the person
+    center that covers every possible device-side jitter/scale crop
+    (img_size/(2*scale_min) + trans_max). Cropping it FIRST means a small
+    person in a large frame keeps (near-)source resolution through the
+    pipeline — the reference jitter-scales and crops at original
+    resolution (ref src/data_loader.py:160-213); scaling the whole frame
+    to the canvas first (the old behavior) destroyed detail. Window
+    edges clipped by the image boundary keep the reference's
+    edge-replicate semantics (the device resampler clamps at the true
+    image edge there)."""
     img = parsed["image"]
     seg = parsed["seg"]
     h = parsed["height"]
     w = parsed["width"]
     label = parsed["label"]
     center = parsed["center"]
+
+    if window_half is not None:
+        half = tf.cast(window_half, tf.int32)
+        x0 = tf.clip_by_value(center[0] - half, 0, tf.maximum(w - 1, 0))
+        y0 = tf.clip_by_value(center[1] - half, 0, tf.maximum(h - 1, 0))
+        x1 = tf.maximum(tf.minimum(w, center[0] + half), x0 + 1)
+        y1 = tf.maximum(tf.minimum(h, center[1] + half), y0 + 1)
+        img = tf.image.crop_to_bounding_box(img, y0, x0, y1 - y0, x1 - x0)
+        seg = tf.image.crop_to_bounding_box(seg, y0, x0, y1 - y0, x1 - x0)
+        h = y1 - y0
+        w = x1 - x0
+        fx0 = tf.cast(x0, tf.float32)
+        fy0 = tf.cast(y0, tf.float32)
+        label = tf.stack([label[0] - fx0, label[1] - fy0, label[2]], axis=0)
+        center = center - tf.stack([x0, y0])
 
     longest = tf.maximum(h, w)
     scale = tf.minimum(1.0, tf.cast(canvas, tf.float32) / tf.cast(longest, tf.float32))
@@ -173,6 +214,7 @@ class ImagePipeline:
         self.device_preprocess = device_preprocess
         self.prep = DevicePreprocessor(cfg, augment=augment) if device_preprocess else None
         self.rng = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+        self.window_half = person_window_half(cfg, augment)
 
         ds = tf.data.TFRecordDataset(self.files)
         if example_shard is not None:
@@ -181,8 +223,11 @@ class ImagePipeline:
             ds = ds.shuffle(10000, seed=cfg.seed)
         if repeat:
             ds = ds.repeat()
+        half = self.window_half
         ds = ds.map(
-            lambda s: _fit_to_canvas(tf, tfrecords.parse_image_example(s), canvas),
+            lambda s: _fit_to_canvas(
+                tf, tfrecords.parse_image_example(s), canvas, window_half=half
+            ),
             num_parallel_calls=tf.data.AUTOTUNE,
         )
         ds = ds.batch(self.batch_size, drop_remainder=repeat)

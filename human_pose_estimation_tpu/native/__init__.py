@@ -147,9 +147,11 @@ def get_dataloader() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),  # png_sizes
             ctypes.c_int64,  # n
             ctypes.c_int,  # canvas
+            ctypes.POINTER(ctypes.c_int32),  # centers (or NULL)
+            ctypes.c_int,  # window_half
             u8p,  # out_img
             u8p,  # out_seg
-            ctypes.POINTER(ctypes.c_int32),  # out_hw
+            ctypes.POINTER(ctypes.c_int32),  # out_hw (n, 6)
             ctypes.POINTER(ctypes.c_float),  # out_scale
             ctypes.POINTER(ctypes.c_int32),  # out_err
             ctypes.c_int,  # num_threads
@@ -163,17 +165,24 @@ def decode_fit_batch(
     png_bytes: Optional[Sequence[bytes]],
     canvas: int,
     num_threads: int = 0,
+    centers: Optional[np.ndarray] = None,
+    window_half: int = 0,
 ):
     """Decode a batch of JPEGs (+ optional segmentation PNGs) into fixed
     uint8 canvases with the native multithreaded decoder.
 
+    centers (N, 2) int32 (x, y) + window_half > 0 crop a person window at
+    SOURCE resolution before the canvas fit (full detail for small people
+    in large frames); offsets for label shifting come back per example.
+
     Returns (img (N,C,C,3) u8, seg (N,C,C,1) u8, hw (N,2) i32 new dims,
-    orig_hw (N,2) i32 pre-fit dims, scale (N,2) f32 = (fy, fx),
-    err (N,) i32) or None when the native library is unavailable.
-    err[i] != 0 marks a failed example (its outputs are zeroed);
-    geometry matches data/npz_dataset._fit_to_canvas_np. For exact
-    label/center rescaling compute hw/orig_hw in float64 rather than
-    using the float32 `scale`.
+    win_hw (N,2) i32 pre-fit window dims, off_yx (N,2) i32 window offsets,
+    scale (N,2) f32 = (fy, fx), err (N,) i32) or None when the native
+    library is unavailable. err[i] != 0 marks a failed example (its
+    outputs are zeroed); geometry matches
+    data/npz_dataset._fit_to_canvas_np. For exact label/center rescaling
+    compute hw/win_hw ratios in float64 rather than using the float32
+    `scale`.
     """
     lib = get_dataloader()
     if lib is None:
@@ -191,9 +200,17 @@ def decode_fit_batch(
     )
     png_sizes = (ctypes.c_int64 * n)(*[a.size for a in pb])
 
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    if centers is not None and window_half > 0:
+        centers_arr = np.ascontiguousarray(centers, np.int32)
+        assert centers_arr.shape == (n, 2), centers_arr.shape
+        centers_ptr = centers_arr.ctypes.data_as(i32p)
+    else:
+        centers_ptr = None
+
     img = np.zeros((n, canvas, canvas, 3), np.uint8)
     seg = np.zeros((n, canvas, canvas, 1), np.uint8)
-    hw = np.zeros((n, 4), np.int32)
+    hw = np.zeros((n, 6), np.int32)
     scale = np.zeros((n, 2), np.float32)
     err = np.zeros(n, np.int32)
     lib.hpe_decode_fit_batch(
@@ -203,11 +220,21 @@ def decode_fit_batch(
         png_sizes,
         n,
         canvas,
+        centers_ptr,
+        int(window_half),
         img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         seg.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        hw.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        hw.ctypes.data_as(i32p),
         scale.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        err.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        err.ctypes.data_as(i32p),
         int(num_threads),
     )
-    return img, seg, hw[:, :2].copy(), hw[:, 2:].copy(), scale, err
+    return (
+        img,
+        seg,
+        hw[:, :2].copy(),
+        hw[:, 2:4].copy(),
+        hw[:, 4:6].copy(),
+        scale,
+        err,
+    )

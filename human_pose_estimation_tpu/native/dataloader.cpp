@@ -191,13 +191,33 @@ struct Example {
   size_t png_size;
 };
 
+// Crop [y0, y1) x [x0, x1) in place (interleaved channels).
+void crop_rows(std::vector<uint8_t>* buf, int w, int ch, int x0, int y0,
+               int x1, int y1) {
+  const int ww = x1 - x0, wh = y1 - y0;
+  std::vector<uint8_t> out(static_cast<size_t>(wh) * ww * ch);
+  for (int y = 0; y < wh; ++y) {
+    std::memcpy(out.data() + static_cast<size_t>(y) * ww * ch,
+                buf->data() + (static_cast<size_t>(y0 + y) * w + x0) * ch,
+                static_cast<size_t>(ww) * ch);
+  }
+  buf->swap(out);
+}
+
 // Decode + fit one example into the batch buffers. Returns 0 ok, else
 // an error bit mask (1 = jpeg failed, 2 = png failed, 4 = seg mismatch).
-int process_one(const Example& ex, int canvas, uint8_t* out_img,
-                uint8_t* out_seg, int32_t* out_hw, float* out_scale) {
+//
+// window_half > 0: crop a +-window_half window around (cx, cy) at SOURCE
+// resolution BEFORE the canvas fit (same geometry as
+// data/pipeline._fit_to_canvas / npz_dataset._fit_to_canvas_np), so a
+// small person in a large frame keeps full detail. The window offset is
+// reported in out_hw[4..5] for label/center shifting.
+int process_one(const Example& ex, int canvas, int cx, int cy,
+                int window_half, uint8_t* out_img, uint8_t* out_seg,
+                int32_t* out_hw, float* out_scale) {
   std::memset(out_img, 0, static_cast<size_t>(canvas) * canvas * 3);
   std::memset(out_seg, 0, static_cast<size_t>(canvas) * canvas);
-  out_hw[0] = out_hw[1] = out_hw[2] = out_hw[3] = 0;
+  for (int k = 0; k < 6; ++k) out_hw[k] = 0;
   out_scale[0] = out_scale[1] = 0.0f;
 
   std::vector<uint8_t> img, seg;
@@ -210,6 +230,30 @@ int process_one(const Example& ex, int canvas, uint8_t* out_img,
   if (err) return err;
   if (ex.png_size > 0 && (gh != h || gw != w)) err |= 4;
   if (err) return err;
+
+  int off_x = 0, off_y = 0;
+  if (window_half > 0) {
+    int x0 = cx - window_half;
+    if (x0 < 0) x0 = 0;
+    if (x0 > w - 1) x0 = w - 1;
+    int y0 = cy - window_half;
+    if (y0 < 0) y0 = 0;
+    if (y0 > h - 1) y0 = h - 1;
+    int x1 = cx + window_half;
+    if (x1 > w) x1 = w;
+    if (x1 < x0 + 1) x1 = x0 + 1;
+    int y1 = cy + window_half;
+    if (y1 > h) y1 = h;
+    if (y1 < y0 + 1) y1 = y0 + 1;
+    if (x0 > 0 || y0 > 0 || x1 < w || y1 < h) {
+      crop_rows(&img, w, 3, x0, y0, x1, y1);
+      if (ex.png_size > 0) crop_rows(&seg, w, 1, x0, y0, x1, y1);
+      off_x = x0;
+      off_y = y0;
+      h = y1 - y0;
+      w = x1 - x0;
+    }
+  }
 
   // Double-precision fit scale: floor(h * scale) must agree bit-for-bit
   // with the Python float64 geometry (float32 flips the floor at
@@ -237,8 +281,10 @@ int process_one(const Example& ex, int canvas, uint8_t* out_img,
   }
   out_hw[0] = new_h;
   out_hw[1] = new_w;
-  out_hw[2] = h;
+  out_hw[2] = h;  // window (== source when no crop) dims pre-fit
   out_hw[3] = w;
+  out_hw[4] = off_y;
+  out_hw[5] = off_x;
   out_scale[0] = static_cast<float>(new_h) / h;
   out_scale[1] = static_cast<float>(new_w) / w;
   return 0;
@@ -254,16 +300,21 @@ extern "C" {
 //   jpeg_ptrs/jpeg_sizes, png_ptrs/png_sizes : n encoded buffers
 //       (png_sizes[i] == 0 -> no segmentation; out_seg stays zeroed)
 //   canvas    : output side length
+//   centers   : n * 2 int32 person centers (x, y) in source coords, or
+//               nullptr; with window_half > 0 a +-window_half window is
+//               cropped around the center at source resolution first
+//   window_half : 0 disables the pre-crop
 //   out_img   : n * canvas * canvas * 3 uint8 (zero-padded)
 //   out_seg   : n * canvas * canvas     uint8 (zero-padded)
-//   out_hw    : n * 4 int32  (new_h, new_w, orig_h, orig_w)
+//   out_hw    : n * 6 int32  (new_h, new_w, win_h, win_w, off_y, off_x)
 //   out_scale : n * 2 float  (fy, fx) for label/center rescaling
 //   out_err   : n int32 error masks (0 = ok)
 //   num_threads <= 0 -> hardware_concurrency
 // Returns the number of failed examples.
 int hpe_decode_fit_batch(const uint8_t** jpeg_ptrs, const int64_t* jpeg_sizes,
                          const uint8_t** png_ptrs, const int64_t* png_sizes,
-                         int64_t n, int canvas, uint8_t* out_img,
+                         int64_t n, int canvas, const int32_t* centers,
+                         int window_half, uint8_t* out_img,
                          uint8_t* out_seg, int32_t* out_hw, float* out_scale,
                          int32_t* out_err, int num_threads) {
   if (num_threads <= 0) {
@@ -283,10 +334,12 @@ int hpe_decode_fit_batch(const uint8_t** jpeg_ptrs, const int64_t* jpeg_sizes,
       Example ex{jpeg_ptrs[i], static_cast<size_t>(jpeg_sizes[i]),
                  png_ptrs ? png_ptrs[i] : nullptr,
                  png_sizes ? static_cast<size_t>(png_sizes[i]) : 0};
+      const int cx = centers ? centers[i * 2] : 0;
+      const int cy = centers ? centers[i * 2 + 1] : 0;
       const int err =
-          process_one(ex, canvas, out_img + i * img_stride,
-                      out_seg + i * seg_stride, out_hw + i * 4,
-                      out_scale + i * 2);
+          process_one(ex, canvas, cx, cy, centers ? window_half : 0,
+                      out_img + i * img_stride, out_seg + i * seg_stride,
+                      out_hw + i * 6, out_scale + i * 2);
       out_err[i] = err;
       if (err) failures.fetch_add(1);
     }

@@ -54,7 +54,7 @@ def test_decode_fit_batch_matches_cv2():
     assert ok and ok2
 
     canvas = 256
-    nimg, nseg, hw, orig, scale, err = decode_fit_batch(
+    nimg, nseg, hw, orig, off, scale, err = decode_fit_batch(
         [jb.tobytes()] * 3, [pb.tobytes()] * 3, canvas
     )
     assert (err == 0).all()
@@ -83,7 +83,7 @@ def test_decode_identity_size_is_exact():
     rng = np.random.RandomState(2)
     img = (rng.rand(64, 48, 3) * 255).astype(np.uint8)
     ok, jb = cv2.imencode(".jpg", cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
-    nimg, _, hw, orig, scale, err = decode_fit_batch([jb.tobytes()], None, 64)
+    nimg, _, hw, orig, off, scale, err = decode_fit_batch([jb.tobytes()], None, 64)
     dec = cv2.cvtColor(
         cv2.imdecode(np.frombuffer(jb.tobytes(), np.uint8), cv2.IMREAD_COLOR),
         cv2.COLOR_BGR2RGB,
@@ -94,7 +94,7 @@ def test_decode_identity_size_is_exact():
 
 
 def test_decode_error_flags():
-    nimg, nseg, hw, orig, scale, err = decode_fit_batch(
+    nimg, nseg, hw, orig, off, scale, err = decode_fit_batch(
         [b"notajpeg"], [b"notapng"], 32
     )
     assert err[0] != 0
@@ -204,3 +204,41 @@ def test_npz_mocap_pipeline(tmp_path, tiny_model):
     raw = iter(NpzMocapPipeline(cfg, tiny_model, [path], device_forward=False))
     p, s = next(raw)
     assert p.shape == (6, 72) and s.shape == (6, 10)
+
+
+def test_native_window_crop_matches_npz(tmp_path):
+    """Large frame + small person: the source-resolution window crop
+    triggers in both host paths and they still agree bit-for-bit-ish."""
+    cv2 = pytest.importorskip("cv2")
+    from human_pose_estimation_tpu.data.native_pipeline import NativeImagePipeline
+    from human_pose_estimation_tpu.data.npz_dataset import (
+        NpzImagePipeline,
+        convert_images_to_npz_shard,
+    )
+
+    rng = np.random.RandomState(5)
+    h, w = 500, 700
+    img = np.clip(np.cumsum(rng.randn(h, w, 3), axis=1) * 4 + 128, 0, 255)
+    img = img.astype(np.uint8)
+    seg = np.zeros((h, w), np.uint8)
+    seg[230:280, 490:545] = 255
+    ip, sp = str(tmp_path / "im0.jpg"), str(tmp_path / "im0_seg.png")
+    cv2.imwrite(ip, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    cv2.imwrite(sp, seg)
+    joints = np.zeros((3, 14, 1), np.float32)
+    joints[0, :, 0] = 520 + rng.rand(14) * 30 - 15
+    joints[1, :, 0] = 255 + rng.rand(14) * 30 - 15
+    joints[2, :, 0] = 1.0
+    npz = str(tmp_path / "shard.npz")
+    assert convert_images_to_npz_shard(npz, [(ip, sp)], joints) == 1
+
+    cfg = Config(batch_size=1, img_size=64, max_silhouette_points=4096)
+    a, na = next(iter(NativeImagePipeline(cfg, [npz], mode="val", canvas=96)))
+    b, nb = next(iter(NpzImagePipeline(cfg, [npz], mode="val", canvas=96)))
+    assert na == nb == 1
+    # window (72px) < frame: full source resolution -> exact silhouette
+    assert np.abs(np.asarray(a.images) - np.asarray(b.images)).max() <= 2.01 / 255
+    np.testing.assert_allclose(np.asarray(a.kp2d), np.asarray(b.kp2d), atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(a.seg_mask).sum(), np.asarray(b.seg_mask).sum()
+    )

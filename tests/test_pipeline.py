@@ -143,3 +143,51 @@ def test_pairing_and_center_helpers(tmp_path):
 def test_mpii_joint_remap_shape():
     assert len(tfrecords.MPII_TO_LSP) == 14
     assert len(set(tfrecords.MPII_TO_LSP)) == 14
+
+
+def test_large_image_keeps_source_resolution(tmp_path):
+    """A small person in a large frame keeps SOURCE resolution through the
+    host pipeline: the person window is cropped at native resolution
+    before the canvas fit (the reference crops at original resolution,
+    ref src/data_loader.py:160-213; scaling the whole frame to the canvas
+    first destroyed detail). A 1-px checkerboard silhouette survives
+    exactly; bilinear full-frame downscale would smear it into a blob."""
+    tf = pytest.importorskip("tensorflow")
+    h, w = 600, 800
+    rng = np.random.RandomState(0)
+    img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    cy, cx = 300, 480
+    yy, xx = np.mgrid[0:h, 0:w]
+    checker = ((yy + xx) % 2 == 0) & (np.abs(yy - cy) < 40) & (np.abs(xx - cx) < 40)
+    seg = (checker * 255).astype(np.uint8)[..., None]
+    n_on = int(checker.sum())  # exactly half of the 80x80 region = 3200
+
+    joints = np.zeros((3, 14, 1), np.float32)
+    joints[0, :, 0] = cx + np.linspace(-50, 50, 14)
+    joints[1, :, 0] = cy + np.linspace(-60, 60, 14)
+    joints[2, :, 0] = 1.0
+    ip = str(tmp_path / "im0000.jpg")
+    sp = str(tmp_path / "im0000_segmentation.png")
+    tf.io.write_file(ip, tf.io.encode_jpeg(img))
+    tf.io.write_file(sp, tf.io.encode_png(seg))
+    path = str(tmp_path / "big.tfrecords")
+    assert tfrecords.create_image_tfrecord(path, [(ip, sp)], joints) == 1
+
+    cfg = Config(
+        data_dir=str(tmp_path),
+        batch_size=1,
+        img_size=224,
+        max_silhouette_points=8192,
+    )
+    pipe = ImagePipeline(cfg, files=[path], mode="val", augment=False, canvas=256)
+    batch, nv = next(iter(pipe))
+    assert nv == 1
+    # silhouette at source resolution: the checkerboard count is exact
+    count = float(np.asarray(batch.seg_mask).sum())
+    assert count == n_on, (count, n_on)
+    # keypoints: deterministic center crop at scale 1 -> px = src - (c - 112)
+    kp = np.asarray(batch.kp2d)[0]
+    kp_px_x = (kp[:, 0] + 1) * 0.5 * 224
+    kp_px_y = (kp[:, 1] + 1) * 0.5 * 224
+    np.testing.assert_allclose(kp_px_x[:14], joints[0, :, 0] - (cx - 112), atol=0.6)
+    np.testing.assert_allclose(kp_px_y[:14], joints[1, :, 0] - (cy - 112), atol=0.6)

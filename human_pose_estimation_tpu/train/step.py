@@ -262,9 +262,15 @@ def make_train_step(hmr, critic_def, cfg: Config):
     return train_step
 
 
-def make_val_step(hmr, critic_def, cfg: Config):
+def make_val_step(hmr, critic_def, cfg: Config, return_stages: bool = False):
     """Evaluation forward pass + losses, no parameter updates
-    (ref Trainer.val_step, src/trainer.py:226-348)."""
+    (ref Trainer.val_step, src/trainer.py:226-348).
+
+    return_stages=True additionally returns per-IEF-stage keypoints /
+    verts / cams stacked on a leading stage axis — the inputs for the
+    reference's per-stage visualization panels (ref visualize_img /
+    draw_results, src/trainer.py:622-695). Off by default: the stacked
+    (S, N, V, 3) verts are pure overhead for metric sweeps."""
     c_matrix = jnp.asarray(K.bone_incidence_matrix())
     critic_apply = lambda p, *a: critic_def.apply({"params": p}, *a)
 
@@ -284,7 +290,7 @@ def make_val_step(hmr, critic_def, cfg: Config):
             stages, batch, critic_apply, state.critic_params, c_matrix, cfg
         )
         last = stages[-1]
-        return dict(
+        out = dict(
             kpr_losses=kpr,
             mr_losses=mr,
             gen_critic_losses=gcl,
@@ -292,6 +298,13 @@ def make_val_step(hmr, critic_def, cfg: Config):
             verts=last.verts,
             cams=last.cam,
         )
+        if return_stages:
+            out.update(
+                stage_kp2d=jnp.stack([s.kp2d for s in stages]),
+                stage_verts=jnp.stack([s.verts for s in stages]),
+                stage_cams=jnp.stack([s.cam for s in stages]),
+            )
+        return out
 
     return val_step
 

@@ -107,6 +107,7 @@ class Trainer:
                 donate_argnums=(0,),
             )
         self.val_step = jax.jit(make_val_step(self.hmr, self.critic, config))
+        self._viz_step = None  # lazy: per-stage val step for image panels
 
         if config.num_examples_override > 0:
             num_images = config.num_examples_override
@@ -411,43 +412,80 @@ class Trainer:
             print()
 
     # ------------------------------------------------------------------
+    @property
+    def viz_step(self):
+        """Per-stage val step (lazily jitted — only image logging needs
+        the stacked per-stage verts)."""
+        if self._viz_step is None:
+            from .step import make_val_step
+
+            self._viz_step = jax.jit(
+                make_val_step(self.hmr, self.critic, self.config, return_stages=True)
+            )
+        return self._viz_step
+
     def _log_images(self, writer, batch: GenBatch, step: int, vout=None) -> None:
-        """Render mesh/skeleton/seg overlays for the first few examples
-        (ref visualize_img/draw_results, src/trainer.py:622-695)."""
+        """Render the reference's full visualization grid (ref
+        visualize_img/draw_results, src/trainer.py:622-695): one row per
+        IEF stage, each row = [skeleton gt+pred | mesh over image | mesh
+        over gt silhouette]; rows vstacked per example. The seg-overlay
+        panel is what makes the mesh-reprojection loss debuggable."""
         try:
             from ..viz.renderer import draw_skeleton, draw_text
 
-            if vout is None:
-                vout = self.val_step(self.state, self._shard(batch))
+            if vout is None or "stage_verts" not in vout:
+                vout = jax.device_get(self.viz_step(self.state, self._shard(batch)))
             n_show = min(3, batch.images.shape[0])
             images = np.asarray(batch.images)
             kp_gt = np.asarray(batch.kp2d)
-            verts = np.asarray(vout["verts"])
-            cams = np.asarray(vout["cams"])
-            kp_pred = np.asarray(vout["pred_keypoints"])
+            seg_pts = np.asarray(batch.seg_points)
+            seg_mask = np.asarray(batch.seg_mask)
+            stage_kp = np.asarray(vout["stage_kp2d"])  # (S, N, K, 2)
+            stage_verts = np.asarray(vout["stage_verts"])  # (S, N, V, 3)
+            stage_cams = np.asarray(vout["stage_cams"])  # (S, N, 3)
             size = self.config.img_size
+            render_mesh = self.smpl.faces is not None and len(self.smpl.faces)
             for i in range(n_show):
                 img01 = (images[i] + 1) * 0.5
+                # dense gt silhouette image from the padded pixel list
+                seg_img = np.zeros((size, size, 3), np.float32)
+                valid = seg_mask[i] > 0
+                if valid.any():
+                    xs = np.clip(seg_pts[i, valid, 0].round().astype(int), 0, size - 1)
+                    ys = np.clip(seg_pts[i, valid, 1].round().astype(int), 0, size - 1)
+                    seg_img[ys, xs] = 1.0
                 gt_px = (kp_gt[i, :, :2] + 1) * 0.5 * size
-                pr_px = (kp_pred[i] + 1) * 0.5 * size
                 vis = kp_gt[i, :, 2] > 0
-                panel = draw_skeleton(img01, gt_px, draw_edges=False, vis=vis)
-                panel = draw_skeleton(panel, pr_px)
-                panels = [panel]
-                if self.smpl.faces is not None and len(self.smpl.faces):
-                    f = 5.0
-                    tz = f / max(float(cams[i, 0]), 1e-6)
-                    cam_t = np.array([cams[i, 1], cams[i, 2], tz])
-                    cam_render = 0.5 * size * np.array([f, 1, 1])
-                    rend = (
-                        self.renderer(verts[i] + cam_t, cam_render, img=img01) / 255.0
+                rows = []
+                for s in range(stage_kp.shape[0]):
+                    pr_px = (stage_kp[s, i] + 1) * 0.5 * size
+                    panel = draw_skeleton(img01, gt_px, draw_edges=False, vis=vis)
+                    panel = np.asarray(
+                        draw_skeleton(panel, pr_px), np.float32
                     )
-                    rend = draw_text(
-                        rend,
-                        {"sc": cams[i, 0], "tx": cams[i, 1], "ty": cams[i, 2]},
-                    )
-                    panels.append(rend)
-                writer.image(f"vis_images/{i}", np.hstack(panels), step)
+                    panels = [panel]
+                    if render_mesh:
+                        cam = stage_cams[s, i]
+                        f = 5.0
+                        tz = f / max(float(cam[0]), 1e-6)
+                        cam_t = np.array([cam[1], cam[2], tz])
+                        cam_render = 0.5 * size * np.array([f, 1, 1])
+                        v_shift = stage_verts[s, i] + cam_t
+                        rend = (
+                            self.renderer(v_shift, cam_render, img=img01, ssaa=2)
+                            / 255.0
+                        )
+                        rend = draw_text(
+                            rend, {"sc": cam[0], "tx": cam[1], "ty": cam[2]}
+                        )
+                        panels.append(np.asarray(rend, np.float32))
+                        rend_seg = (
+                            self.renderer(v_shift, cam_render, img=seg_img, ssaa=2)
+                            / 255.0
+                        )
+                        panels.append(np.asarray(rend_seg, np.float32))
+                    rows.append(np.hstack(panels))
+                writer.image(f"vis_images/{i}", np.vstack(rows), step)
             writer.flush()
         except Exception as e:  # visualization must never kill training
             print(f"[viz] image logging failed: {e}")

@@ -17,6 +17,9 @@ class SummaryWriter:
     def __init__(self, logdir: Optional[str]):
         self.logdir = logdir
         self.history: List[Tuple[str, int, float]] = []
+        # last image per tag (tests assert on panel layouts; one HWC array
+        # per tag keeps memory bounded)
+        self.images: dict = {}
         self._tb = None
         if logdir is not None:
             try:
@@ -32,10 +35,11 @@ class SummaryWriter:
             self._tb.add_scalar(tag, float(value), int(step))
 
     def image(self, tag: str, img: np.ndarray, step: int) -> None:
+        img = np.asarray(img)
+        if img.dtype != np.uint8:
+            img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        self.images[tag] = (int(step), img)
         if self._tb is not None:
-            img = np.asarray(img)
-            if img.dtype != np.uint8:
-                img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
             self._tb.add_image(tag, img, int(step), dataformats="HWC")
 
     def flush(self) -> None:

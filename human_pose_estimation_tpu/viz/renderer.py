@@ -162,7 +162,14 @@ class SMPLRenderer:
         do_alpha: bool = False,
         color_id: int = 0,
         img_size=None,
+        ssaa: int = 1,
     ) -> np.ndarray:
+        """ssaa > 1 renders at ssaa x resolution and area-downsamples —
+        the anti-aliasing role of OpenDR's MSAA 8 in the reference
+        (ref src/util/renderer.py:157-254 num_samples). Works with both
+        the native and the numpy rasterizer (it is pure camera scaling);
+        cost grows ~ssaa^2, so 2-3 is the useful range for logged images.
+        """
         if img is not None:
             h, w = img.shape[:2]
             bg = np.asarray(img, np.float64)
@@ -176,28 +183,38 @@ class SMPLRenderer:
             bg = None
         if cam is None:
             cam = [self.flength, w / 2.0, h / 2.0]
+        k = max(int(ssaa), 1)
+        rh, rw = h * k, w * k
+        rbg = bg
+        if k > 1 and bg is not None:
+            import cv2
+
+            rbg = cv2.resize(bg, (rw, rh), interpolation=cv2.INTER_LINEAR)
         rendered, mask = rasterize_mesh(
             np.asarray(verts),
             self.faces,
-            h,
-            w,
-            focal=float(cam[0]),
-            center=np.asarray(cam[1:3], np.float64),
+            rh,
+            rw,
+            focal=float(cam[0]) * k,
+            center=np.asarray(cam[1:3], np.float64) * k,
             color=MESH_COLORS[color_id % len(MESH_COLORS)],
-            background=bg,
+            background=rbg,
         )
+        if k > 1:
+            rendered = rendered.reshape(h, k, w, k, 3).mean(axis=(1, 3))
+            mask = mask.reshape(h, k, w, k).mean(axis=(1, 3)) > 0.5
         out = np.clip(rendered, 0, 1)
         if do_alpha:
             out = np.concatenate([out, mask[..., None].astype(np.float64)], axis=-1)
         return (out * 255).astype(np.uint8)
 
     def rotated(self, verts, deg, cam=None, axis="y", img=None, do_alpha=False,
-                color_id=0, img_size=None) -> np.ndarray:
+                color_id=0, img_size=None, ssaa: int = 1) -> np.ndarray:
         verts = np.asarray(verts)
         center = verts.mean(axis=0)
         new_v = (verts - center) @ _rot_mat(axis, deg) + center
         return self(new_v, cam=cam, img=img, do_alpha=do_alpha,
-                    color_id=color_id, img_size=img_size)
+                    color_id=color_id, img_size=img_size, ssaa=ssaa)
 
 
 def get_original(proc_param: Dict, verts, cam, joints, img_size=None):

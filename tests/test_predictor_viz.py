@@ -421,3 +421,28 @@ def test_predictor_outputs_filter(predictor, rng):
     np.testing.assert_allclose(
         out["generated_joints"], full["generated_joints"], atol=1e-6
     )
+
+
+def test_rasterizer_ssaa_antialiasing():
+    """ssaa=2 supersampling (the OpenDR MSAA-8 role, ref renderer.py
+    num_samples): same output size, softer edges — edge pixels take
+    intermediate values between mesh color and background."""
+    verts = np.array(
+        [[-1.0, -1.0, 3.0], [1.0, -1.0, 3.0], [0.0, 1.5, 3.0]], np.float64
+    )
+    faces = np.array([[0, 1, 2]])
+    r = viz.SMPLRenderer(img_size=64, faces=faces)
+    hard = r(verts, cam=[100.0, 32.0, 32.0]).astype(int)
+    soft = r(verts, cam=[100.0, 32.0, 32.0], ssaa=2).astype(int)
+    assert soft.shape == hard.shape
+    # interiors agree; edges gain intermediate (anti-aliased) values
+    inner = np.abs(soft[28:36, 28:36] - hard[28:36, 28:36]).max()
+    assert inner <= 2
+    covered = (hard != 255).any(-1)
+    mesh_vals = set(np.unique(hard[covered][:, 0]))
+    edge_new = set(np.unique(soft[(soft != hard).any(-1)][:, 0])) - mesh_vals - {255}
+    assert edge_new, "ssaa produced no intermediate edge values"
+    # background override path with ssaa
+    bg = np.zeros((64, 64, 3), np.float32)
+    over = r(verts, cam=[100.0, 32.0, 32.0], img=bg, ssaa=2)
+    assert over.shape == (64, 64, 3)

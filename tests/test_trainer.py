@@ -290,3 +290,30 @@ def test_h36m_pattern_rejected_loudly(tmp_path):
         tfrecords.record_files(str(tmp_path), ["h36m"])
     with pytest.raises(ValueError, match="mpi_inf_3dhp"):
         tfrecords.record_files(str(tmp_path), ["mpi_inf_3dhp"])
+
+
+def test_image_summaries_full_grid(workdir):
+    """Image summaries render the reference's full grid (ref
+    visualize_img/draw_results, src/trainer.py:622-695): one row per IEF
+    stage, each row = [skeleton | mesh-over-image | mesh-over-seg]."""
+    from human_pose_estimation_tpu.utils.summary import SummaryWriter
+
+    cfg = _config(workdir, checkpoint_dir=os.path.join(workdir, "ckpt_viz"))
+    files = [os.path.join(workdir, "lsp_16.tfrecords")]
+    trainer = Trainer(
+        cfg,
+        dataset=ImagePipeline(cfg, files=files, mode="train", canvas=96),
+        val_dataset=None,
+        encoder_stage_sizes=(1, 1, 1, 1),
+    )
+    batch, _ = next(iter(trainer.dataset))
+    w = SummaryWriter(None)
+    trainer._log_images(w, batch, step=7)
+    assert "vis_images/0" in w.images, "image logging failed (see stdout)"
+    step, img = w.images["vis_images/0"]
+    assert step == 7
+    s, size = cfg.num_stage, cfg.img_size
+    assert img.shape == (s * size, 3 * size, 3), img.shape
+    # the seg-overlay panel (right column) contains the white silhouette
+    right = img[:, 2 * size :, :]
+    assert (right > 200).any()

@@ -52,6 +52,8 @@ def main():
     ap.add_argument("--configs", default="combined,kp_only,mr_only")
     ap.add_argument("--encoder_depth", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--train_name", default="lsp_train")
+    ap.add_argument("--val_name", default="lsp_val")
     ap.add_argument("--regen", action="store_true", help="force dataset regen")
     args = ap.parse_args()
 
@@ -81,8 +83,8 @@ def main():
             img_size=args.render_size,
             seed=args.seed,
             fmt="tfrecord",
-            train_name="synth_train",
-            val_name="synth_val",
+            train_name=args.train_name,
+            val_name=args.val_name,
         )
         save_model_npz(model, model_path)
         stats["gen_seconds"] = round(time.time() - t0, 1)
@@ -105,8 +107,8 @@ def main():
     gt_verts = np.asarray(
         smpl_forward(
             smpl,
-            jnp.asarray(gt["synth_val_beta"]),
-            jnp.asarray(gt["synth_val_theta"]),
+            jnp.asarray(gt[f"{args.val_name}_beta"]),
+            jnp.asarray(gt[f"{args.val_name}_theta"]),
             joint_type="lsp",
         ).verts
     )
@@ -120,8 +122,8 @@ def main():
             logs=os.path.join(out_dir, "logs"),
             model_dir=os.path.join(out_dir, "logs", name),
             checkpoint_dir=os.path.join(out_dir, "ckpt_" + name),
-            datasets=["synth_train"],
-            val_datasets=["synth_val"],
+            datasets=[args.train_name],
+            val_datasets=[args.val_name],
             mocap_datasets=["CMU"],
             num_examples_override=args.n_train,
             img_size=args.img_size,
@@ -144,8 +146,8 @@ def main():
         # stay on for comparable eval numbers
         obj_cfg = cfg.replace(use_mesh_repro_loss=use_mr, use_kpr_loss=use_kpr)
 
-        files = [os.path.join(out_dir, "synth_train.tfrecords")]
-        val_files = [os.path.join(out_dir, "synth_val.tfrecords")]
+        files = [os.path.join(out_dir, f"{args.train_name}.tfrecords")]
+        val_files = [os.path.join(out_dir, f"{args.val_name}.tfrecords")]
         trainer = Trainer(
             obj_cfg,
             dataset=ImagePipeline(obj_cfg, files=files, mode="train"),

@@ -85,7 +85,7 @@ class HMR:
             from .resnet import make_resnet
 
             self.encoder = make_resnet(encoder_depth, compute_dtype=encoder_dtype)
-        else:  # shallow encoder for tests; feature dim stays 2048
+        else:  # shallow encoder for tests (feature dim follows stages)
             from .resnet import ResNet
 
             self.encoder = ResNet(
@@ -101,8 +101,14 @@ class HMR:
         enc_rng, reg_rng = jax.random.split(rng)
         dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
         enc_vars = self.encoder.init(enc_rng, dummy, train=False)
+        # Regressor input dim = whatever the encoder emits (2048 for the
+        # production ResNet-50; shallow test encoders can differ).
+        feat = jax.eval_shape(
+            lambda v, x: self.encoder.apply(v, x, train=False), enc_vars, dummy
+        )
+        feat_dim = int(feat.shape[-1])
         reg_vars = self.regressor.init(
-            reg_rng, jnp.zeros((1, 2048)), jnp.zeros((1, THETA_DIM)), train=False
+            reg_rng, jnp.zeros((1, feat_dim)), jnp.zeros((1, THETA_DIM)), train=False
         )
         return FrozenDict(
             params={

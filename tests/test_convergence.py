@@ -64,6 +64,12 @@ def test_dataset_statistics(closed_loop_dir):
     assert gt["synth_val_cam"].shape == (N_VAL, 3)
 
 
+@pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("HPE_RUN_SLOW", "0") in ("", "0", "false"),
+    reason="~20 min of CPU training; run with HPE_RUN_SLOW=1 "
+    "(full-scale on-chip version: benchmarks/quality_bench.py -> QUALITY.md)",
+)
 def test_full_hybrid_recipe_learns_pose(closed_loop_dir):
     """Train the COMPLETE recipe (kp + mesh + critic + GP) a few hundred
     steps on rendered ground truth; PCK@0.5 must improve substantially

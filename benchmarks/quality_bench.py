@@ -164,8 +164,13 @@ def main():
 
         def evaluate(step):
             res = trainer.validate_checkpoint(restore=False)
-            # model-space vertex error vs the generating parameters
-            verrs, i = [], 0
+            # model-space vertex error vs the generating parameters: raw
+            # (includes the monocular similarity gauge — camera scale
+            # trades against body size, depth is unobserved) and
+            # Procrustes-aligned (PVE-PA: recovered pose/shape quality).
+            from human_pose_estimation_tpu.ops.metrics import pa_error
+
+            verrs, paerrs, cams, i = [], [], [], 0
             for batch, n_valid in trainer.val_dataset:
                 out = jax.device_get(
                     trainer.val_step(trainer.state, trainer._shard(batch))
@@ -175,8 +180,17 @@ def main():
                 verrs.append(
                     np.linalg.norm(pv - gv, axis=-1).mean(axis=-1)
                 )
+                paerrs.append(
+                    np.asarray(pa_error(jnp.asarray(pv), jnp.asarray(gv)))
+                )
+                cams.append(out["cams"][:n_valid])
                 i += n_valid
             vert_err = float(np.concatenate(verrs).mean())
+            pa_vert_err = float(np.concatenate(paerrs).mean())
+            # gauge diagnostics: predicted vs generating camera scale
+            cam_s = np.concatenate(cams)[:, 0]
+            gt_s = gt[f"{args.val_name}_cam"][: len(cam_s), 0]
+            scale_ratio = float(np.mean(cam_s / np.maximum(gt_s, 1e-6)))
             row = {
                 "config": name,
                 "step": step,
@@ -185,6 +199,8 @@ def main():
                 "pck@0.5": round(res["pck@0.5"], 4),
                 "pck_auc": round(res.get("pck_auc@0.5", float("nan")), 4),
                 "vert_err": round(vert_err, 4),
+                "pa_vert_err": round(pa_vert_err, 4),
+                "cam_scale_ratio": round(scale_ratio, 4),
             }
             print(json.dumps(row))
             results.append(row)

@@ -34,6 +34,16 @@ def main():
     ap.add_argument("--canvas", type=int, default=256)
     ap.add_argument("--sil", type=int, default=2048)
     ap.add_argument("--fused", default="true")
+    ap.add_argument("--remat", default="false", help="jax.checkpoint the encoder")
+    ap.add_argument("--mr_stages", default="all", choices=["all", "last"])
+    ap.add_argument(
+        "--true_sil",
+        type=int,
+        default=0,
+        help="unfused mode: mark only the first N silhouette pixels valid "
+        "(0 = all of --sil), exercising the count-gated chamfer tiles",
+    )
+    ap.add_argument("--profile", default="", help="jax.profiler trace dir")
     args = ap.parse_args()
 
     import jax
@@ -67,12 +77,14 @@ def main():
             use_gradient_penalty=True,
             max_silhouette_points=args.sil,
             fuse_preprocess=fused,
+            mr_metric_stages=args.mr_stages,
         )
         hmr = HMR(
             smpl,
             num_stage=cfg.num_stage,
             joint_type=cfg.joint_type,
             encoder_dtype=jnp.bfloat16,
+            remat_encoder=args.remat.lower() in ("1", "true", "yes"),
         )
         critic = Critic()
         state = create_train_state(
@@ -114,6 +126,9 @@ def main():
                 make_train_step(hmr, critic, cfg), donate_argnums=(0,)
             )
             nsil = cfg.max_silhouette_points
+            n_true = args.true_sil or nsil
+            mask = np.zeros((batch, nsil), np.float32)
+            mask[:, :n_true] = 1.0
             data = (
                 GenBatch(
                     images=jnp.asarray(
@@ -123,7 +138,7 @@ def main():
                     seg_points=jnp.asarray(
                         rng.rand(batch, nsil, 2) * args.img_size, jnp.float32
                     ),
-                    seg_mask=jnp.ones((batch, nsil), jnp.float32),
+                    seg_mask=jnp.asarray(mask),
                     kp2d=jnp.asarray(rng.rand(batch, 19, 3), jnp.float32),
                 ),
                 MocapBatch(
@@ -139,16 +154,24 @@ def main():
         for i in range(10):  # warmup past relay donation warmup
             state, metrics = step_fn(state, *data, jax.random.fold_in(key, i))
         jax.block_until_ready(state)
+        if args.profile:
+            jax.profiler.start_trace(args.profile)
         t0 = time.perf_counter()
         for i in range(args.iters):
             state, metrics = step_fn(state, *data, jax.random.fold_in(key, 100 + i))
         jax.block_until_ready(state)
         dt = time.perf_counter() - t0
+        if args.profile:
+            jax.profiler.stop_trace()
         print(
             json.dumps(
                 {
                     "mode": "fused" if fused else "unfused",
                     "batch": batch,
+                    "remat": args.remat.lower() in ("1", "true", "yes"),
+                    "mr_stages": args.mr_stages,
+                    "sil": args.sil,
+                    "true_sil": args.true_sil or args.sil,
                     "ms_per_step": round(dt / args.iters * 1000, 2),
                     "img_per_sec": round(batch * args.iters / dt, 1),
                 }

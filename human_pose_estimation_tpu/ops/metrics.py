@@ -77,6 +77,53 @@ def pck_auc(
     return jnp.trapezoid(curve, ts) / max_threshold
 
 
+def procrustes_align(
+    pred: jax.Array,  # (N, P, 3) predicted point sets (verts or joints)
+    gt: jax.Array,  # (N, P, 3) ground-truth point sets
+) -> jax.Array:
+    """Per-sample similarity (Procrustes) alignment of pred onto gt.
+
+    Solves min_{s, R, t} ||s R pred + t - gt||_F per sample (orthogonal
+    Procrustes with scale; Umeyama). Returns the aligned predictions
+    (N, P, 3).
+
+    Monocular weak-perspective reconstruction (the loss camera,
+    core/projection.py) only determines geometry up to a similarity
+    transform — camera scale trades against body size, and depth is
+    unobserved — so raw model-space vertex error conflates that gauge
+    freedom with actual pose error. Aligned error (the HMR literature's
+    "PA-" metrics; the reference computes neither, having no ground-truth
+    mesh) isolates recovered pose/shape quality.
+    """
+    mu_p = pred.mean(axis=1, keepdims=True)
+    mu_g = gt.mean(axis=1, keepdims=True)
+    pc = pred - mu_p
+    gc = gt - mu_g
+    # cross-covariance and its SVD give the optimal rotation
+    cov = jnp.einsum("npi,npj->nij", gc, pc)  # (N, 3, 3)
+    u, s, vt = jnp.linalg.svd(cov)
+    # reflection guard: flip the smallest singular direction if det < 0
+    det = jnp.linalg.det(jnp.einsum("nij,njk->nik", u, vt))
+    d = jnp.stack(
+        [jnp.ones_like(det), jnp.ones_like(det), jnp.sign(det)], axis=-1
+    )
+    r = jnp.einsum("nij,nj,njk->nik", u, d, vt)  # (N, 3, 3), gt <- pred
+    var_p = jnp.sum(pc * pc, axis=(1, 2))
+    scale = jnp.sum(s * d, axis=-1) / jnp.maximum(var_p, 1e-12)  # (N,)
+    aligned = scale[:, None, None] * jnp.einsum("nij,npj->npi", r, pc) + mu_g
+    return aligned
+
+
+def pa_error(pred: jax.Array, gt: jax.Array) -> jax.Array:
+    """Mean per-point Euclidean error after Procrustes alignment — (N,).
+
+    With vertices this is PA-vertex error (PVE-PA); with joints it is
+    PA-MPJPE, the standard monocular-3D-pose metric.
+    """
+    aligned = procrustes_align(pred, gt)
+    return jnp.linalg.norm(aligned - gt, axis=-1).mean(axis=-1)
+
+
 def per_joint_pck(
     kp_gt: jax.Array, kp_pred: jax.Array, alpha: float = 0.5
 ) -> jax.Array:

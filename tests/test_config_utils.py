@@ -148,3 +148,52 @@ def test_pck_curve_auc_per_joint():
     assert pj.shape == (14,) and ((0 <= pj) & (pj <= 1)).all()
     # perfect predictions -> all ones
     assert np.asarray(pck_curve(gt, gt[..., :2]))[0] == 1.0
+
+
+def test_procrustes_align_recovers_similarity_transform():
+    """pa_error is ~0 when pred differs from gt by exactly a similarity
+    transform (the monocular gauge freedom), and raw error is not."""
+    import jax.numpy as jnp
+
+    from human_pose_estimation_tpu.ops.metrics import pa_error, procrustes_align
+
+    rng = np.random.RandomState(3)
+    gt = rng.randn(4, 50, 3).astype(np.float32)
+    # random rotations via QR (det fixed positive)
+    q, _ = np.linalg.qr(rng.randn(4, 3, 3))
+    q = q * np.sign(np.linalg.det(q))[:, None, None]
+    s = rng.uniform(0.5, 2.0, size=(4, 1, 1)).astype(np.float32)
+    t = rng.randn(4, 1, 3).astype(np.float32)
+    pred = s * np.einsum("nij,npj->npi", q, gt) + t
+
+    raw = np.linalg.norm(pred - gt, axis=-1).mean()
+    assert raw > 0.1
+    err = np.asarray(pa_error(jnp.asarray(pred), jnp.asarray(gt)))
+    assert err.shape == (4,)
+    np.testing.assert_allclose(err, 0.0, atol=1e-4)
+
+    aligned = np.asarray(procrustes_align(jnp.asarray(pred), jnp.asarray(gt)))
+    np.testing.assert_allclose(aligned, gt, atol=1e-4)
+
+
+def test_procrustes_align_reflection_guard_and_residual():
+    """A reflected point set cannot be aligned by a rotation: the solver
+    must keep det(R)=+1 (not silently mirror), leaving a real residual;
+    and alignment never increases error on noisy data."""
+    import jax.numpy as jnp
+
+    from human_pose_estimation_tpu.ops.metrics import pa_error, procrustes_align
+
+    rng = np.random.RandomState(4)
+    gt = rng.randn(2, 40, 3).astype(np.float32)
+    mirrored = gt * np.array([1.0, 1.0, -1.0], np.float32)
+    aligned = np.asarray(
+        procrustes_align(jnp.asarray(mirrored), jnp.asarray(gt))
+    )
+    # rotations are orthogonal with det +1: residual stays nonzero
+    assert np.linalg.norm(aligned - gt, axis=-1).mean() > 0.05
+
+    noisy = gt + rng.randn(*gt.shape).astype(np.float32) * 0.1
+    raw = np.linalg.norm(noisy - gt, axis=-1).mean(axis=-1)
+    pa = np.asarray(pa_error(jnp.asarray(noisy), jnp.asarray(gt)))
+    assert (pa <= raw + 1e-5).all()

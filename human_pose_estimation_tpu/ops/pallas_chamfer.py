@@ -223,8 +223,10 @@ def _bwd_kernel(
         iv = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)  # (C, V)
         idx_near = jnp.min(jnp.where(d <= dmin, iv, IBIG), axis=1, keepdims=True)
         a = (iv == idx_near).astype(jnp.float32) * mask  # (C, V) one-hot rows
-        tile_gx = jnp.sum(a * -jnp.sign(dx), axis=0, keepdims=True)  # (1, V)
-        tile_gy = jnp.sum(a * -jnp.sign(dy), axis=0, keepdims=True)
+        agx = a * jnp.sign(dx)  # (C, V), nonzero only at selected vertices
+        agy = a * jnp.sign(dy)
+        tile_gx = -jnp.sum(agx, axis=0, keepdims=True)  # (1, V)
+        tile_gy = -jnp.sum(agy, axis=0, keepdims=True)
 
         # pred -> gt: running masked min + first-pixel coordinate selection
         # (across tiles the strict `<` take keeps the earlier tile's pixel).
@@ -238,13 +240,12 @@ def _bwd_kernel(
         ty = jnp.min(jnp.where(sel, gy, BIG), axis=0, keepdims=True)
 
         if l1v_ref is not None:
-            # Forward value: masked sum of L1-of-the-L2-nearest (identical
-            # formulas to _kernel's gt->pred path).
-            l1 = jnp.abs(dx) + jnp.abs(dy)
-            l1_near = jnp.min(
-                jnp.where(iv == idx_near, l1, BIG), axis=1, keepdims=True
-            )
-            tile_l1 = jnp.sum(l1_near * mask)
+            # Forward value: masked sum of L1-of-the-L2-nearest. The one-hot
+            # sign products above double as the value accumulators —
+            # sum(a*sign(dx)*dx) = sum over valid pixels of |dx| at the
+            # selected vertex — saving the abs/where/min re-selection pass
+            # (identical semantics to _kernel's gt->pred path).
+            tile_l1 = jnp.sum(agx * dx) + jnp.sum(agy * dy)
 
         @pl.when(pt == 0)
         def _():

@@ -98,6 +98,16 @@ class Config:
     # pixel tile on a per-image last-active count, so cost tracks the
     # TRUE silhouette size, not the budget (PERF.md).
     max_silhouette_points: int = 16384
+    # Weak-perspective gauge fix: hinge penalty pushing the predicted
+    # camera scale s above cam_scale_margin. Nothing in the reference
+    # forbids s < 0 (ref src/tf_smpl/projection.py:23-33), and the
+    # negated-scale + 180°-roll gauge projects IDENTICALLY — image
+    # metrics stay perfect while model-space geometry mirrors (QUALITY.md
+    # "Model-space recovery and the monocular gauge"). The penalty is
+    # exactly 0 whenever s >= margin, so in-gauge training is untouched.
+    # Set to 0 for strict reference behavior.
+    cam_scale_hinge: float = 10.0
+    cam_scale_margin: float = 0.1
     gp_mode: str = "reference"  # 'reference' | 'per_sample' (SURVEY.md §8.7)
     mr_scale_mode: str = "reference"  # 'reference' | 'count' (SURVEY.md §8.9)
     # Which IEF stages get the (expensive) chamfer mesh-loss evaluated.
@@ -112,6 +122,10 @@ class Config:
     # explicitly (>0); unknown names otherwise raise instead of silently
     # treating one batch as an epoch.
     num_examples_override: int = 0
+    # Shallow-encoder override for smoke runs / CI of the CLI path:
+    # comma-separated ResNet stage block counts (e.g. "1,1,1,1"). Empty =
+    # the full encoder_depth architecture (production default).
+    encoder_stage_sizes: str = ""
     seed: int = 0
     input_pipeline: str = "tfrecord"  # 'tfrecord' | 'npz' | 'native' (C++) | 'grain'
     mesh_axis: str = "data"  # DP mesh axis name

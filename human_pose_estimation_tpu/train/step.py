@@ -145,6 +145,13 @@ def make_train_step(hmr, critic_def, cfg: Config):
             loss = loss + mr[-1]
         if not cfg.encoder_only:
             loss = loss + gcl[-1]
+        if cfg.cam_scale_hinge > 0.0:
+            # Gauge fix (Config.cam_scale_hinge): keep the weak-perspective
+            # scale of the stage that feeds the losses out of the mirrored
+            # s<0 gauge. Zero whenever s >= margin.
+            s = stages[-1].cam[:, 0]
+            hinge = jnp.mean(jnp.square(jax.nn.relu(cfg.cam_scale_margin - s)))
+            loss = loss + cfg.cam_scale_hinge * hinge
         aux = dict(stages=stages, new_batch_stats=new_bs, kpr=kpr, mr=mr, gcl=gcl)
         return loss, aux
 

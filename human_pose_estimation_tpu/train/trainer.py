@@ -63,6 +63,11 @@ class Trainer:
 
         self.smpl = smpl if smpl is not None else load_model(config.smpl_model_path)
         dtype = jnp.bfloat16 if config.encoder_dtype == "bfloat16" else jnp.float32
+        if encoder_stage_sizes is None and config.encoder_stage_sizes:
+            # CLI smoke-run override (Config.encoder_stage_sizes).
+            encoder_stage_sizes = tuple(
+                int(x) for x in config.encoder_stage_sizes.split(",")
+            )
         self.hmr = HMR(
             self.smpl,
             num_stage=config.num_stage,

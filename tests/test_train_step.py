@@ -329,3 +329,48 @@ def test_multi_step_matches_sequential(setup, rng):
         )
     )
     assert max(drift) < 5e-3  # bounded by a few Adam steps of rounding
+
+
+def test_cam_scale_hinge_wiring(setup, rng):
+    """Gauge fix (Config.cam_scale_hinge): the hinge penalty on the
+    weak-perspective camera scale must (a) be EXACTLY inactive — loss and
+    update untouched — whenever every predicted s clears the margin, and
+    (b) raise the generator loss when s falls below it. Nothing in the
+    reference forbids s<0 (ref src/tf_smpl/projection.py:23-33); the
+    penalty exists to keep training out of the mirrored s<0 gauge
+    (QUALITY.md "Model-space recovery and the monocular gauge")."""
+    smpl, cfg, hmr, critic, state = setup
+    gen, mocap = _batches(rng)
+    key = jax.random.PRNGKey(3)
+
+    # Predicted last-stage scales at this init (val-mode; train-mode
+    # values differ only by dropout noise, which +-5 dwarfs).
+    val = jax.jit(make_val_step(hmr, critic, cfg))
+    s = np.asarray(val(state, gen)["cams"])[:, 0]
+    lo = float(s.min()) - 5.0  # margin below every s: hinge exactly 0
+    hi = float(s.max()) + 5.0  # margin above every s: hinge active
+
+    def run(hinge, margin):
+        fn = jax.jit(
+            make_train_step(
+                hmr,
+                critic,
+                cfg.replace(cam_scale_hinge=hinge, cam_scale_margin=margin),
+            )
+        )
+        return fn(state, gen, mocap, key)
+
+    st_off, m_off = run(0.0, lo)
+    st_on, m_on = run(10.0, lo)
+    # Inactive hinge: generator loss and the resulting params identical.
+    np.testing.assert_allclose(
+        float(m_on.generator_loss), float(m_off.generator_loss), rtol=1e-6
+    )
+    leaves_off = jax.tree.leaves(st_off.gen_params)
+    leaves_on = jax.tree.leaves(st_on.gen_params)
+    for a, b in zip(leaves_off, leaves_on):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # Active hinge: loss strictly higher, params pushed differently.
+    _, m_hi = run(10.0, hi)
+    assert float(m_hi.generator_loss) > float(m_off.generator_loss) + 1.0

@@ -317,3 +317,56 @@ def test_image_summaries_full_grid(workdir):
     # the seg-overlay panel (right column) contains the white silhouette
     right = img[:, 2 * size :, :]
     assert (right > 200).any()
+
+
+def test_reproduce_recipe_cli_flow(workdir, tmp_path, capsys):
+    """CI guard for scripts/reproduce_lsp.sh: drive the SAME CLI flow the
+    script runs — ``cli.train.main`` (prepare_dirs, params.json, epoch
+    accounting, epoch-end checkpoint) then ``cli.validate_checkpoint.main``
+    (checkpoint restore-for-eval, metric sweep) — at reduced scale, with
+    the script's exact loss flags (Table-2 combined + critic)."""
+    from human_pose_estimation_tpu.cli import train as cli_train
+    from human_pose_estimation_tpu.cli import validate_checkpoint as cli_val
+
+    logs = str(tmp_path / "logs")
+    ckdir = str(tmp_path / "ckpt")
+    common = [
+        "--data_dir", workdir,
+        "--smpl_model_path", os.path.join(workdir, "model.npz"),
+        "--val_datasets", "lsp_16",
+        "--batch_size", "4",
+        "--img_size", "56",
+        "--max_silhouette_points", "256",
+        "--encoder_dtype", "float32",
+        "--encoder_stage_sizes", "1,1,1,1",
+        "--logs", logs,
+        "--checkpoint_dir", ckdir,
+    ]
+    cli_train.main(common + [
+        "--datasets", "lsp_16",
+        "--mocap_datasets", "CMU",
+        "--epoch", "1",
+        "--use_kpr_loss", "true",
+        "--use_mesh_repro_loss", "true",
+        "--use_gradient_penalty", "true",
+        "--encoder_only", "false",
+        "--mr_metric_stages", "last",
+        "--checkpoint_every_epochs", "1",
+        "--validation_step_size", "2",
+        "--log_img_step", "0",
+    ])
+    # train side effects: run dir + params.json + epoch-end checkpoint
+    runs = os.listdir(logs)
+    assert len(runs) == 1 and runs[0].startswith("HMR__1e_")
+    assert os.path.isfile(os.path.join(logs, runs[0], "params.json"))
+    from human_pose_estimation_tpu.utils import checkpoint as ckpt
+
+    assert ckpt.latest_step(ckdir) == 4  # 16 imgs / batch 4 * 1 epoch
+
+    capsys.readouterr()
+    cli_val.main(common + ["--logs", str(tmp_path / "vlogs")])
+    out = capsys.readouterr().out
+    results = eval(out.strip().splitlines()[-1])  # the printed dict
+    assert np.isfinite(results["mean_kpr_loss"])
+    assert np.isfinite(results["mean_mr_loss"])
+    assert 0.0 <= results["pck@0.5"] <= 1.0

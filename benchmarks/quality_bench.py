@@ -50,6 +50,14 @@ def main():
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--sil", type=int, default=16384)
     ap.add_argument("--configs", default="combined,kp_only,mr_only")
+    ap.add_argument(
+        "--critic_weight", type=float, default=None,
+        help="override critic_loss_weight (sweeps; suffixes the run name)",
+    )
+    ap.add_argument(
+        "--cam_scale_hinge", type=float, default=None,
+        help="override the gauge-fix hinge weight (None = Config default)",
+    )
     ap.add_argument("--encoder_depth", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--train_name", default="lsp_train")
@@ -116,6 +124,12 @@ def main():
     results = []
     for name in [c.strip() for c in args.configs.split(",") if c.strip()]:
         use_kpr, use_mr, encoder_only = ABLATIONS[name]
+        overrides = {}
+        if args.critic_weight is not None:
+            overrides["critic_loss_weight"] = args.critic_weight
+            name = f"{name}_cw{args.critic_weight:g}"
+        if args.cam_scale_hinge is not None:
+            overrides["cam_scale_hinge"] = args.cam_scale_hinge
         cfg = Config(
             smpl_model_path=model_path,
             data_dir=out_dir,
@@ -141,6 +155,7 @@ def main():
             checkpoint_every_epochs=10**9,
             scalar_log_step=50,
             seed=args.seed,
+            **overrides,
         )
         # the generator OBJECTIVE honors the ablation; the MR/KPR metrics
         # stay on for comparable eval numbers

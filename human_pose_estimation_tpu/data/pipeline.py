@@ -192,19 +192,20 @@ class ImagePipeline:
         self.files = list(files)
         # Multi-host DP: each host reads a disjoint input shard (the
         # per-host half of the sharded pipeline, SURVEY.md §2 parallelism
-        # plan); batch_size here is the per-host batch. With at least one
-        # file per host, shard the FILE list; otherwise shard at the
-        # EXAMPLE level with ds.shard — the reference's LSP datasets are
-        # one .tfrecords file each (ref data_utils.py:87-90), so file
-        # slicing alone would starve all hosts but one.
+        # plan); batch_size here is the per-host batch. Sharding is ALWAYS
+        # at the EXAMPLE level (ds.shard): file-level slicing is uneven
+        # whenever file example-counts differ (lsp_train=1000 vs
+        # lsp_ext=8642 — hosts would step at different example rates,
+        # silently skewing epoch accounting and val sweeps), and the
+        # reference's LSP datasets are one .tfrecords file each anyway
+        # (ref data_utils.py:87-90). The cost — every host scans all
+        # files and keeps 1/num_shards of the records — is negligible at
+        # this corpus scale (tens of MB per host).
         example_shard = None  # (num, index) applied after dataset creation
         if shard_by_host and (num_shards is None):
             num_shards, shard_index = jax.process_count(), jax.process_index()
         if num_shards is not None and num_shards > 1:
-            if len(self.files) >= num_shards:
-                self.files = self.files[shard_index::num_shards]
-            else:
-                example_shard = (num_shards, shard_index)
+            example_shard = (num_shards, shard_index)
         augment = (mode == "train") if augment is None else augment
         shuffle = (mode == "train") if shuffle is None else shuffle
         repeat = (mode == "train") if repeat is None else repeat

@@ -281,7 +281,11 @@ def make_val_step(hmr, critic_def, cfg: Config, return_stages: bool = False):
     c_matrix = jnp.asarray(K.bone_incidence_matrix())
     critic_apply = lambda p, *a: critic_def.apply({"params": p}, *a)
 
-    def val_step(state: TrainState, batch: GenBatch):
+    def val_step(state: TrainState, batch: GenBatch, encoder_qparams=None):
+        """encoder_qparams: optional PTQ int8 encoder weights
+        (models/quantize.py) — evaluates the SERVING graph with the
+        task metrics, so int8 accuracy is quantified in PCK/KPR/MR
+        rather than tensor drift (PERF.md "int8 task metrics")."""
         variables = {
             "params": {k: state.gen_params[k] for k in ("encoder", "regressor")},
             "batch_stats": state.batch_stats,
@@ -292,6 +296,7 @@ def make_val_step(hmr, critic_def, cfg: Config, return_stages: bool = False):
             state.gen_params["mean_theta"],
             train=False,
             smpl_stages="all",
+            encoder_qparams=encoder_qparams,
         )
         kpr, mr, gcl = _stage_losses(
             stages, batch, critic_apply, state.critic_params, c_matrix, cfg

@@ -510,13 +510,29 @@ class Trainer:
         assert self.val_dataset is not None, "validate requires a val dataset"
         writer = self._writer("checkpoint_val")
 
+        qparams = None
+        if self.config.encoder_int8:
+            # PTQ the restored encoder once and calibrate activation
+            # scales on the first val batch, then sweep the SERVING graph
+            # so int8 accuracy is reported in the task metrics themselves.
+            first_batch, _ = next(iter(self.val_dataset))
+            variables = {
+                "params": {"encoder": self.state.gen_params["encoder"]},
+                "batch_stats": self.state.batch_stats,
+            }
+            qparams = jax.jit(
+                lambda v, c: self.hmr.quantize_encoder(v, calibration_images=c)
+            )(variables, first_batch.images)
+
         kpr_losses, mr_losses, pcks = [], [], []
         gts, preds = [], []  # accumulated for PCK curve / AUC / per-joint
         best = {"val": np.inf, "batch": None, "out": None}
         worst = {"val": -np.inf, "batch": None, "out": None}
         step = 0
         for batch, n_valid in self.val_dataset:
-            out = jax.device_get(self.val_step(self.state, self._shard(batch)))
+            out = jax.device_get(
+                self.val_step(self.state, self._shard(batch), qparams)
+            )
             kpr = float(out["kpr_losses"][-1])
             mr = float(out["mr_losses"][-1])
             kpr_losses.append(kpr)

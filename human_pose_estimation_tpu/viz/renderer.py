@@ -24,6 +24,47 @@ MESH_COLORS = {
 _LIGHT_DIR = np.array([-0.4, -0.6, -1.0])
 _AMBIENT = 0.35
 
+# The reference lights its meshes with THREE positioned point lights
+# (back / left / right, the third at 0.7 intensity), rotated 120° about
+# Y, summed with no ambient term (ref src/util/renderer.py:157-192,
+# OpenDR LambertianPointLight). Public constants, carried for visual
+# parity; used by lighting="points".
+_POINT_LIGHTS = [  # (position (model units), intensity)
+    (np.array([-200.0, -100.0, -100.0]), 1.0),
+    (np.array([800.0, 10.0, 300.0]), 1.0),
+    (np.array([-500.0, 500.0, 1000.0]), 0.7),
+]
+_POINT_LIGHT_YROT = math.radians(120.0)
+
+
+def _vertex_point_light_shade(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Per-vertex Lambertian shade from the reference's 3 point lights.
+
+    Returns (V,) in [0, 1]. Vertex normals are area-weighted face-normal
+    sums (the standard Gouraud setup; OpenDR's VertNormals equivalent).
+    """
+    e1 = verts[faces[:, 1]] - verts[faces[:, 0]]
+    e2 = verts[faces[:, 2]] - verts[faces[:, 0]]
+    fn = np.cross(e1, e2)  # area-weighted
+    vn = np.zeros_like(verts)
+    for k in range(3):
+        np.add.at(vn, faces[:, k], fn)
+    vn /= np.maximum(np.linalg.norm(vn, axis=1, keepdims=True), 1e-12)
+
+    rot = _rot_mat("y", math.degrees(_POINT_LIGHT_YROT))
+    shade = np.zeros(len(verts))
+    for pos, intensity in _POINT_LIGHTS:
+        lp = rot @ pos
+        to_light = lp - verts
+        to_light /= np.maximum(
+            np.linalg.norm(to_light, axis=1, keepdims=True), 1e-12
+        )
+        # double-sided, like the directional path: the z-buffer decides
+        # visibility, and back-facing normals on a watertight body mean
+        # the camera sees the other side
+        shade += intensity * np.abs(np.sum(vn * to_light, axis=1))
+    return np.clip(shade, 0.0, 1.0)
+
 
 def _rot_mat(axis: str, deg: float) -> np.ndarray:
     a = math.radians(deg)
@@ -45,14 +86,21 @@ def rasterize_mesh(
     color: np.ndarray,
     background: Optional[np.ndarray] = None,  # (H, W, 3) float [0, 1]
     use_native: bool = True,
+    lighting: str = "directional",  # 'directional' | 'points'
 ):
-    """Z-buffered perspective rasterization with flat shading.
+    """Z-buffered perspective rasterization.
+
+    lighting='directional': flat shading from one directional light +
+    ambient (the fast default; the C++ rasterizer implements exactly
+    this). lighting='points': the reference's 3-point-light Lambertian
+    model with per-vertex (Gouraud) shades interpolated per pixel
+    (ref src/util/renderer.py:157-192) — numpy path only.
 
     Uses the C++ rasterizer (native/rasterizer.cpp) when a compiler is
     available, with this numpy implementation as the behavioral spec and
     fallback. Returns (image (H, W, 3) float [0, 1], mask (H, W) bool).
     """
-    if use_native:
+    if use_native and lighting == "directional":
         try:
             from ..native import rasterize_native
 
@@ -90,6 +138,9 @@ def rasterize_mesh(
     light = _LIGHT_DIR / np.linalg.norm(_LIGHT_DIR)
     lam = np.abs(n @ light)  # double-sided
     shade = np.clip(_AMBIENT + (1 - _AMBIENT) * lam, 0, 1)
+    vert_shade = (
+        _vertex_point_light_shade(verts, faces) if lighting == "points" else None
+    )
 
     depth = np.full((height, width), np.inf)
     img = (
@@ -132,7 +183,15 @@ def rasterize_mesh(
             continue
         sub_d[upd] = zpix[upd]
         sub_img = img[y0[f] : y1[f] + 1, x0[f] : x1[f] + 1]
-        sub_img[upd] = color * shade[f]
+        if vert_shade is None:
+            sub_img[upd] = color * shade[f]
+        else:
+            # Gouraud: barycentric interpolation of the vertex shades
+            # (w2 <-> vertex 0, w1 <-> vertex 1, w0 <-> vertex 2, matching
+            # the depth interpolation above).
+            vs = vert_shade[faces[f]]
+            pix = w2 * vs[0] + w1 * vs[1] + w0 * vs[2]
+            sub_img[upd] = color[None, :] * np.clip(pix[upd], 0, 1)[:, None]
         sub_mask = mask[y0[f] : y1[f] + 1, x0[f] : x1[f] + 1]
         sub_mask[upd] = True
     return img, mask
@@ -145,7 +204,7 @@ class SMPLRenderer:
     renders the mesh rotated about its centroid."""
 
     def __init__(self, img_size: int = 256, flength: float = 500.0, faces=None,
-                 face_path: Optional[str] = None):
+                 face_path: Optional[str] = None, lighting: str = "directional"):
         if faces is None:
             if face_path is None:
                 raise ValueError("need faces array or face_path (.npy)")
@@ -153,6 +212,7 @@ class SMPLRenderer:
         self.faces = np.asarray(faces, np.int64)
         self.h = self.w = img_size
         self.flength = flength
+        self.lighting = lighting
 
     def __call__(
         self,
@@ -163,12 +223,17 @@ class SMPLRenderer:
         color_id: int = 0,
         img_size=None,
         ssaa: int = 1,
+        lighting: Optional[str] = None,
     ) -> np.ndarray:
         """ssaa > 1 renders at ssaa x resolution and area-downsamples —
         the anti-aliasing role of OpenDR's MSAA 8 in the reference
         (ref src/util/renderer.py:157-254 num_samples). Works with both
         the native and the numpy rasterizer (it is pure camera scaling);
         cost grows ~ssaa^2, so 2-3 is the useful range for logged images.
+
+        lighting='points' switches to the reference's 3-point-light
+        Gouraud model (slower numpy path, prettiest output);
+        'directional' (default) is the fast flat-shaded C++/numpy path.
         """
         if img is not None:
             h, w = img.shape[:2]
@@ -199,6 +264,7 @@ class SMPLRenderer:
             center=np.asarray(cam[1:3], np.float64) * k,
             color=MESH_COLORS[color_id % len(MESH_COLORS)],
             background=rbg,
+            lighting=lighting if lighting is not None else self.lighting,
         )
         if k > 1:
             rendered = rendered.reshape(h, k, w, k, 3).mean(axis=(1, 3))

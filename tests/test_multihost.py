@@ -105,6 +105,49 @@ def test_single_file_example_sharding(tmp_path):
     assert len(set(a) | set(b)) == 8, "shards do not cover the dataset"
 
 
+def test_uneven_files_shard_evenly(tmp_path):
+    """Two tfrecord FILES with very different sizes (the lsp_train=1000
+    vs lsp_ext=8642 shape): sharding is example-level ALWAYS, so both
+    hosts see the same example count regardless of the file split —
+    file-level slicing would give one host 2 and the other 10."""
+    tf = pytest.importorskip("tensorflow")
+    _write_assets(tmp_path, n=12)
+    # Split the 12 records 2 / 10 across two files.
+    records = list(
+        tf.data.TFRecordDataset([str(tmp_path / "lsp_16.tfrecords")])
+        .as_numpy_iterator()
+    )
+    small, big = tmp_path / "small.tfrecords", tmp_path / "big.tfrecords"
+    for path, recs in ((small, records[:2]), (big, records[2:])):
+        with tf.io.TFRecordWriter(str(path)) as w:
+            for r in recs:
+                w.write(r)
+    cfg = Config(
+        data_dir=str(tmp_path),
+        datasets=["lsp_16"],
+        batch_size=2,
+        img_size=48,
+        max_silhouette_points=64,
+    )
+    files = [str(small), str(big)]
+
+    def example_ids(shard_index):
+        pipe = ImagePipeline(
+            cfg, files=files, mode="val", augment=False, shuffle=False,
+            repeat=False, canvas=64, num_shards=2, shard_index=shard_index,
+        )
+        ids = []
+        for batch, n in pipe:
+            imgs = np.asarray(batch.images)[:n]
+            ids += [round(float(np.abs(im).sum()), 3) for im in imgs]
+        return ids
+
+    a, b = example_ids(0), example_ids(1)
+    assert len(a) == 6 and len(b) == 6, (len(a), len(b))
+    assert not (set(a) & set(b)), "shards overlap"
+    assert len(set(a) | set(b)) == 12, "shards do not cover the dataset"
+
+
 @pytest.mark.slow
 def test_two_process_distributed_train_and_checkpoint(tmp_path):
     """Spawn 2 real JAX processes: distributed init, sharded input, DP

@@ -73,3 +73,28 @@ def test_native_is_faster(mesh):
     rasterize_native(*args, _LIGHT_DIR, _AMBIENT)
     t_c = time.perf_counter() - t0
     assert t_c < t_np  # typically 10-100x
+
+
+def test_point_light_gouraud_mode(mesh):
+    """lighting='points' (the reference's 3-point-light Lambertian model,
+    ref src/util/renderer.py:157-192): same coverage as the directional
+    path, but smoothly varying per-pixel shading (Gouraud) instead of
+    per-face flat shading."""
+    verts, faces = mesh
+    color = np.array([1.0, 1.0, 1.0])
+    kwargs = dict(
+        height=96, width=96, focal=120.0, center=np.array([48.0, 48.0]),
+        color=color, use_native=False,
+    )
+    img_d, mask_d = rasterize_mesh(verts, faces, lighting="directional", **kwargs)
+    img_p, mask_p = rasterize_mesh(verts, faces, lighting="points", **kwargs)
+    np.testing.assert_array_equal(mask_d, mask_p)  # lighting != geometry
+    assert mask_p.any()
+    # shading actually differs between the models
+    assert np.abs(img_p[mask_p] - img_d[mask_d]).max() > 0.02
+    # Gouraud: more distinct shade levels than flat per-face shading on
+    # the same mesh (interpolation produces a near-continuous ramp)
+    levels = lambda im, m: len(np.unique(np.round(im[m][:, 0], 3)))
+    assert levels(img_p, mask_p) > levels(img_d, mask_d)
+    # the white color stays in gamut
+    assert img_p.max() <= 1.0 and img_p.min() >= 0.0

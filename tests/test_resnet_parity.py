@@ -11,12 +11,35 @@ from human_pose_estimation_tpu.models.resnet import ResNet50
 from human_pose_estimation_tpu.models.port_keras import port_resnet50
 
 
+def _perturb_bn_stats(keras_model, seed=1):
+    """Give every BatchNorm non-default moving statistics and affine
+    params before porting. A PRETRAINED checkpoint differs from a fresh
+    Keras model exactly here (moving_mean/var far from 0/1, gamma/beta
+    far from 1/0) — the environment is offline (no ImageNet weights
+    fetchable; README "Pretrained encoder weights"), so this makes the
+    parity oracle sensitive to the same port bugs real weights would
+    expose (eps placement, variance-vs-std, stat/affine swaps)."""
+    rng = np.random.RandomState(seed)
+    for v in keras_model.variables:
+        arr = v.numpy()
+        name = v.name
+        if "moving_variance" in name:
+            v.assign(rng.lognormal(0.0, 1.0, arr.shape).astype(arr.dtype))
+        elif "moving_mean" in name:
+            v.assign((rng.randn(*arr.shape) * 0.5).astype(arr.dtype))
+        elif "gamma" in name:
+            v.assign((1.0 + rng.randn(*arr.shape) * 0.3).astype(arr.dtype))
+        elif "beta" in name:
+            v.assign((rng.randn(*arr.shape) * 0.3).astype(arr.dtype))
+
+
 @pytest.mark.slow
 def test_resnet50_matches_keras():
     tf = pytest.importorskip("tensorflow")
     from tensorflow.keras.applications import ResNet50 as KerasResNet50
 
     keras_model = KerasResNet50(include_top=False, weights=None, pooling="avg")
+    _perturb_bn_stats(keras_model)
     params, stats = port_resnet50(keras_model)
 
     model = ResNet50()
@@ -52,6 +75,7 @@ def test_resnet101_matches_keras():
     from human_pose_estimation_tpu.models.resnet import make_resnet
 
     keras_model = KerasResNet101(include_top=False, weights=None, pooling="avg")
+    _perturb_bn_stats(keras_model, seed=2)
     params, stats = port_resnet(keras_model, depth=101)
 
     model = make_resnet(101)

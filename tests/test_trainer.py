@@ -370,3 +370,105 @@ def test_reproduce_recipe_cli_flow(workdir, tmp_path, capsys):
     assert np.isfinite(results["mean_kpr_loss"])
     assert np.isfinite(results["mean_mr_loss"])
     assert 0.0 <= results["pck@0.5"] <= 1.0
+
+
+def test_resume_trajectory_equivalence(workdir, tmp_path):
+    """Train k steps -> checkpoint (weights + grain input state) ->
+    restore into a FRESH Trainer -> continue k steps == 2k straight
+    steps: identical final params and step counter. Guards the whole
+    resume contract — Orbax state, input-stream position, device-augment
+    RNG (folded on the checkpointed pipeline step), and train-step PRNG
+    (folded on state.step)."""
+    pytest.importorskip("grain")
+    tf = pytest.importorskip("tensorflow")
+    from human_pose_estimation_tpu.data.grain_pipeline import GrainImagePipeline
+    from human_pose_estimation_tpu.data.npz_dataset import write_npz_shard
+
+    # npz shard for the grain source (12 distinct examples)
+    rng = np.random.RandomState(7)
+    jpegs, pngs, labels, centers = [], [], [], []
+    for i in range(12):
+        h, w = 72, 64
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        seg = np.zeros((h, w, 1), np.uint8)
+        seg[18:54, 14:48] = 255
+        jpegs.append(tf.io.encode_jpeg(img).numpy())
+        pngs.append(tf.io.encode_png(seg).numpy())
+        lab = np.zeros((3, 14), np.float32)
+        lab[0], lab[1], lab[2] = rng.rand(14) * (w - 1), rng.rand(14) * (h - 1), 1.0
+        labels.append(lab)
+        centers.append([w // 2, h // 2])
+    shard = str(tmp_path / "lsp_16.npz")
+    write_npz_shard(shard, jpegs, pngs, np.stack(labels),
+                    np.asarray(centers, np.int32))
+
+    def make_cfg(ckdir):
+        return _config(
+            workdir,
+            input_pipeline="grain",
+            checkpoint_dir=str(tmp_path / ckdir),
+            logs=str(tmp_path / ckdir / "logs"),
+            model_dir=None,
+            encoder_only=True,          # no mocap stream (not checkpointed)
+            do_bone_evaluation=False,
+            use_mesh_repro_loss=False,
+            use_validation=False,
+            num_examples_override=12,
+            epoch=1000,  # bounded by max_steps, not epoch accounting
+        )
+
+    def make_trainer(cfg):
+        pipe = GrainImagePipeline(cfg, [shard], mode="train", canvas=96, seed=5)
+        return Trainer(cfg, dataset=pipe, val_dataset=None,
+                       encoder_stage_sizes=(1, 1, 1, 1))
+
+    # straight run: 6 steps
+    cfg_a = make_cfg("ck_straight")
+    ta = make_trainer(cfg_a)
+    ta.train(max_steps=6)
+
+    # split run: 3 steps -> save -> fresh Trainer -> restore -> 3 more
+    cfg_b = make_cfg("ck_split")
+    tb = make_trainer(cfg_b)
+    tb.train(max_steps=3)
+    tb.save()
+    tc = make_trainer(cfg_b.replace(train_from_checkpoint=True))
+    tc.train(max_steps=6)
+
+    assert int(ta.state.step) == int(tc.state.step) == 6
+    for a, c in zip(jax.tree.leaves(ta.state.gen_params),
+                    jax.tree.leaves(tc.state.gen_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-6, atol=1e-7)
+    for a, c in zip(jax.tree.leaves(ta.state.batch_stats),
+                    jax.tree.leaves(tc.state.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_validate_checkpoint_int8_task_metrics(workdir):
+    """encoder_int8=true runs validate_checkpoint through the PTQ serving
+    graph (quantize + first-batch calibration + int8 val sweep); its task
+    metrics must match the float eval closely — the small-scale guard for
+    PERF.md's "int8 vs bf16 task metrics" row."""
+    files = [os.path.join(workdir, "lsp_16.tfrecords")]
+
+    def sweep(int8):
+        cfg = _config(
+            workdir, encoder_int8=int8,
+            logs=os.path.join(workdir, "logs_i8" if int8 else "logs_f32"),
+        )
+        val_pipe = ImagePipeline(
+            cfg, files=files, mode="val", augment=False, canvas=96
+        )
+        trainer = Trainer(
+            cfg, dataset=None, val_dataset=val_pipe, validation_only=True,
+            encoder_stage_sizes=(1, 1, 1, 1),
+        )
+        return trainer.validate_checkpoint(restore=True, draw_best_worst=False)
+
+    f32, i8 = sweep(False), sweep(True)
+    assert np.isfinite(i8["mean_kpr_loss"])
+    assert abs(i8["pck@0.5"] - f32["pck@0.5"]) <= 0.01, (f32, i8)
+    assert i8["mean_kpr_loss"] == pytest.approx(f32["mean_kpr_loss"], rel=0.02)
+    assert i8["mean_mr_loss"] == pytest.approx(f32["mean_mr_loss"], rel=0.05)

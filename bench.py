@@ -17,11 +17,15 @@ def main():
 
     # Persistent XLA compile cache: repeat bench runs skip the ~1-2 min
     # first compile (keys include program + topology, safe to share).
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.expanduser("~/.cache/hpe_jax_cache"),
-    )
+    # Must go through jax.config — sitecustomize may preload jax, after
+    # which the env var alone is silently ignored (utils/jax_cache.py).
     import jax
+
+    from human_pose_estimation_tpu.utils.jax_cache import (
+        ensure_compilation_cache,
+    )
+
+    ensure_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
 

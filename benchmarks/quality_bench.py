@@ -26,6 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/hpe_jax_cache")
 )
+# The env var alone is ignored when sitecustomize preloads jax; route
+# through jax.config as well (utils/jax_cache.py).
+from human_pose_estimation_tpu.utils.jax_cache import ensure_compilation_cache
+
+ensure_compilation_cache()
 
 ABLATIONS = {
     # name: (use_kpr, use_mr, encoder_only)
@@ -58,6 +63,10 @@ def main():
         "--cam_scale_hinge", type=float, default=None,
         help="override the gauge-fix hinge weight (None = Config default)",
     )
+    ap.add_argument(
+        "--lr_schedule", default="constant", choices=["constant", "cosine"],
+        help="cosine decays both Adam rates to 0 over --steps",
+    )
     ap.add_argument("--encoder_depth", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--train_name", default="lsp_train")
@@ -82,18 +91,24 @@ def main():
         print("generating closed-loop dataset ...")
         model = synthetic_human_model(num_verts=6890)
         t0 = time.time()
-        stats = generate_closed_loop_dataset(
-            out_dir,
-            model,
-            n_train=args.n_train,
-            n_val=args.n_val,
-            n_mocap=8192,
-            img_size=args.render_size,
-            seed=args.seed,
-            fmt="tfrecord",
-            train_name=args.train_name,
-            val_name=args.val_name,
-        )
+        # Pin generation to the host CPU backend: its many small
+        # smpl_forward batches are seconds on CPU but minutes (and
+        # occasionally wedged RPCs) through a remote-attached chip.
+        import jax
+
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            stats = generate_closed_loop_dataset(
+                out_dir,
+                model,
+                n_train=args.n_train,
+                n_val=args.n_val,
+                n_mocap=8192,
+                img_size=args.render_size,
+                seed=args.seed,
+                fmt="tfrecord",
+                train_name=args.train_name,
+                val_name=args.val_name,
+            )
         save_model_npz(model, model_path)
         stats["gen_seconds"] = round(time.time() - t0, 1)
         with open(marker, "w") as f:
@@ -130,6 +145,10 @@ def main():
             name = f"{name}_cw{args.critic_weight:g}"
         if args.cam_scale_hinge is not None:
             overrides["cam_scale_hinge"] = args.cam_scale_hinge
+        if args.lr_schedule != "constant":
+            overrides["lr_schedule"] = args.lr_schedule
+            overrides["lr_decay_steps"] = args.steps
+            name = f"{name}_{args.lr_schedule}"
         cfg = Config(
             smpl_model_path=model_path,
             data_dir=out_dir,

@@ -22,6 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/hpe_jax_cache")
 )
+# The env var alone is ignored when sitecustomize preloads jax; route
+# through jax.config as well (utils/jax_cache.py).
+from human_pose_estimation_tpu.utils.jax_cache import ensure_compilation_cache
+
+ensure_compilation_cache()
 
 
 def main():

@@ -56,6 +56,9 @@ class Predictor:
         static activation scales up front; without them the predictor
         calibrates lazily on the FIRST served batch (one extra compiled
         call), then serves the static fast path."""
+        from ..utils.jax_cache import ensure_compilation_cache
+
+        ensure_compilation_cache()  # minutes/executable on remote chips
         self.config = config
         self.batch_size = batch_size or config.batch_size
         self.outputs = tuple(outputs) if outputs else None

@@ -55,6 +55,9 @@ class Trainer:
         use_mesh: bool = True,
         encoder_stage_sizes=None,  # shallow encoder override (tests/smoke)
     ):
+        from ..utils.jax_cache import ensure_compilation_cache
+
+        ensure_compilation_cache()  # minutes/executable on remote chips
         self.config = config
         self.dataset = dataset
         self.mocap_dataset = mocap_dataset
@@ -87,6 +90,8 @@ class Trainer:
             config.generator_lr,
             config.critic_lr,
             img_size=config.img_size,
+            lr_schedule=config.lr_schedule,
+            lr_decay_steps=config.lr_decay_steps,
         )
 
         self.mesh = (

@@ -55,6 +55,13 @@ class Config:
     batch_size: int = 8
     generator_lr: float = 1e-4
     critic_lr: float = 5e-4
+    # Learning-rate schedule. 'constant' = reference behavior (plain Adam,
+    # ref src/trainer.py:183-184). 'cosine' decays both rates to zero over
+    # lr_decay_steps (must be > 0) — closes the last few percent of
+    # closed-loop PA vertex error that a constant rate orbits around
+    # (QUALITY.md "Extended schedule").
+    lr_schedule: str = "constant"  # 'constant' | 'cosine'
+    lr_decay_steps: int = 0
     kpr_loss_weight: float = 60.0
     mr_loss_weight: float = 1e-3
     critic_loss_weight: float = 1e-2
@@ -151,6 +158,10 @@ class Config:
             raise ValueError("encoder_depth must be 50, 101, or 152")
         if self.mr_metric_stages not in ("all", "last"):
             raise ValueError("mr_metric_stages must be 'all' or 'last'")
+        if self.lr_schedule not in ("constant", "cosine"):
+            raise ValueError("lr_schedule must be 'constant' or 'cosine'")
+        if self.lr_schedule == "cosine" and self.lr_decay_steps <= 0:
+            raise ValueError("lr_schedule='cosine' requires lr_decay_steps > 0")
 
     @property
     def mean_params_path(self) -> str:

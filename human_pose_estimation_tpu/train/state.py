@@ -23,9 +23,36 @@ from flax.core import FrozenDict
 ADAM_EPS = 1e-7
 
 
-def make_optimizers(generator_lr: float, critic_lr: float):
-    gen_tx = optax.adam(generator_lr, eps=ADAM_EPS)
-    critic_tx = optax.adam(critic_lr, eps=ADAM_EPS)
+def _lr(base: float, schedule: str, decay_steps: int):
+    if schedule == "constant":
+        return base
+    if schedule == "cosine":
+        if decay_steps <= 0:
+            raise ValueError("lr_schedule='cosine' requires lr_decay_steps > 0")
+        return optax.cosine_decay_schedule(base, decay_steps)
+    raise ValueError(f"unknown lr_schedule {schedule!r}")
+
+
+def make_optimizers(
+    generator_lr: float,
+    critic_lr: float,
+    lr_schedule: str = "constant",
+    lr_decay_steps: int = 0,
+):
+    """Adam pair for the generator/critic (ref src/trainer.py:183-184).
+
+    ``lr_schedule='cosine'`` decays BOTH rates to zero over
+    ``lr_decay_steps`` — an extension past the reference's constant rates
+    (default 'constant' = reference behavior). The optimizer-state
+    STRUCTURE differs between the two (schedules carry a step count), so
+    every constructor of the same TrainState must agree on the schedule.
+    """
+    gen_tx = optax.adam(
+        _lr(generator_lr, lr_schedule, lr_decay_steps), eps=ADAM_EPS
+    )
+    critic_tx = optax.adam(
+        _lr(critic_lr, lr_schedule, lr_decay_steps), eps=ADAM_EPS
+    )
     return gen_tx, critic_tx
 
 
@@ -47,6 +74,8 @@ def create_train_state(
     generator_lr: float,
     critic_lr: float,
     img_size: int = 224,
+    lr_schedule: str = "constant",
+    lr_decay_steps: int = 0,
 ) -> TrainState:
     """Initialize all parameters and optimizer states."""
     hmr_rng, critic_rng = jax.random.split(rng)
@@ -62,7 +91,9 @@ def create_train_state(
         jnp.zeros((1, 10)),
         jnp.zeros((1, 23, 3, 3)),
     )
-    gen_tx, critic_tx = make_optimizers(generator_lr, critic_lr)
+    gen_tx, critic_tx = make_optimizers(
+        generator_lr, critic_lr, lr_schedule, lr_decay_steps
+    )
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         gen_params=gen_params,

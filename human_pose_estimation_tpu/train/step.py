@@ -118,7 +118,9 @@ def _stage_losses(stages, batch: GenBatch, critic_apply, critic_params, c_matrix
 
 def make_train_step(hmr, critic_def, cfg: Config):
     """Build the jit-able train_step(state, gen_batch, mocap_batch, rng)."""
-    gen_tx, critic_tx = make_optimizers(cfg.generator_lr, cfg.critic_lr)
+    gen_tx, critic_tx = make_optimizers(
+        cfg.generator_lr, cfg.critic_lr, cfg.lr_schedule, cfg.lr_decay_steps
+    )
     c_matrix = jnp.asarray(K.bone_incidence_matrix())
     critic_apply = lambda p, *a: critic_def.apply({"params": p}, *a)
 

@@ -374,3 +374,49 @@ def test_cam_scale_hinge_wiring(setup, rng):
     # Active hinge: loss strictly higher, params pushed differently.
     _, m_hi = run(10.0, hi)
     assert float(m_hi.generator_loss) > float(m_off.generator_loss) + 1.0
+
+
+def test_cosine_lr_schedule(setup, rng):
+    """lr_schedule='cosine' (a TPU-native extension; default 'constant'
+    is the reference's plain Adam, ref src/trainer.py:183-184): the
+    schedule must wire through state creation AND the step (their
+    optimizer-state structures must agree), decay the applied update
+    over time, and validate its decay_steps requirement."""
+    from human_pose_estimation_tpu.train.state import make_optimizers
+
+    smpl, cfg, hmr, critic, state = setup
+    gen, mocap = _batches(rng)
+    key = jax.random.PRNGKey(7)
+    ccfg = cfg.replace(lr_schedule="cosine", lr_decay_steps=4)
+
+    # State and step built with the SAME schedule: runs and updates.
+    cstate = create_train_state(
+        jax.random.PRNGKey(0),
+        hmr,
+        critic,
+        synthetic_mean_params()[None, :],
+        ccfg.generator_lr,
+        ccfg.critic_lr,
+        img_size=IMG,
+        lr_schedule="cosine",
+        lr_decay_steps=4,
+    )
+    fn = jax.jit(make_train_step(hmr, critic, ccfg))
+    s1, _ = fn(cstate, gen, mocap, key)
+    assert int(s1.step) == 1
+
+    # Past decay_steps the cosine rate is 0: parameters freeze.
+    s = s1
+    for i in range(5):
+        s, _ = fn(s, gen, mocap, jax.random.fold_in(key, i))
+    frozen, _ = fn(s, gen, mocap, jax.random.fold_in(key, 99))
+    for a, b in zip(
+        jax.tree.leaves(s.gen_params), jax.tree.leaves(frozen.gen_params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Config validation: cosine requires decay steps.
+    with pytest.raises(ValueError):
+        cfg.replace(lr_schedule="cosine", lr_decay_steps=0)
+    with pytest.raises(ValueError):
+        make_optimizers(1e-4, 5e-4, "cosine", 0)

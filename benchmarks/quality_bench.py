@@ -67,6 +67,15 @@ def main():
         "--lr_schedule", default="constant", choices=["constant", "cosine"],
         help="cosine decays both Adam rates to 0 over --steps",
     )
+    ap.add_argument(
+        "--save_checkpoint", action="store_true",
+        help="save the final TrainState (for init_encoder_from transfer)",
+    )
+    ap.add_argument(
+        "--init_encoder_from", default="",
+        help="checkpoint dir whose encoder initializes each run "
+        "(pretrained-encoder transfer; Config.init_encoder_from)",
+    )
     ap.add_argument("--encoder_depth", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--train_name", default="lsp_train")
@@ -149,6 +158,9 @@ def main():
             overrides["lr_schedule"] = args.lr_schedule
             overrides["lr_decay_steps"] = args.steps
             name = f"{name}_{args.lr_schedule}"
+        if args.init_encoder_from:
+            overrides["init_encoder_from"] = args.init_encoder_from
+            name = f"{name}_pretrained"
         cfg = Config(
             smpl_model_path=model_path,
             data_dir=out_dir,
@@ -253,6 +265,9 @@ def main():
             f"[{name}] {args.steps} steps in {dt:.0f}s "
             f"({1e3 * dt / args.steps:.1f} ms/step incl. eval)"
         )
+        if args.save_checkpoint:
+            trainer.save()
+            print(f"[{name}] checkpoint saved to {cfg.checkpoint_dir}")
 
     print("\n=== summary (final step per config) ===")
     finals = {}

@@ -83,6 +83,14 @@ class Config:
     train_from_checkpoint: bool = False
     checkpoint_dir: str = "checkpoints"
     checkpoint_every_epochs: int = 5
+    # Pretrained-encoder initialization: graft the encoder weights + BN
+    # statistics from another run's checkpoint directory into a FRESH
+    # train state (regressor/critic/mean-theta/optimizers start anew) —
+    # the framework's analog of the reference's ImageNet encoder init
+    # (ref src/models.py:35-41, keras weights='imagenet'). Offline
+    # pretrained evidence: QUALITY.md "Pretrained-encoder transfer".
+    # Ignored when train_from_checkpoint resumes a full state.
+    init_encoder_from: str = ""
 
     # --- debug (ref src/config.py:98) ---------------------------------------
     debug: bool = False

@@ -93,6 +93,8 @@ class Trainer:
             lr_schedule=config.lr_schedule,
             lr_decay_steps=config.lr_decay_steps,
         )
+        if config.init_encoder_from and not config.train_from_checkpoint:
+            self._graft_encoder(config.init_encoder_from)
 
         self.mesh = (
             pmesh.make_mesh(batch_size=config.batch_size) if use_mesh else None
@@ -167,6 +169,52 @@ class Trainer:
         if self.mesh is None or batch is None:
             return batch
         return pmesh.shard_batch(batch, self.mesh, dim=dim)
+
+    def _graft_encoder(self, donor_dir: str) -> None:
+        """Pretrained-encoder init (Config.init_encoder_from): copy the
+        encoder parameters + BN statistics out of another run's checkpoint
+        into this fresh state. Everything else (regressor, critic, mean
+        theta, both optimizers, step=0) starts anew — the exact analog of
+        the reference's ImageNet encoder with fresh heads
+        (ref src/models.py:35-41)."""
+        from flax.core import freeze
+
+        raw, step = ckpt.restore_raw(donor_dir)
+        try:
+            # freeze(): raw restore yields plain nested dicts, a different
+            # pytree node type than the state's FrozenDicts — normalize so
+            # two-tree jax.tree.map/structure comparison is meaningful.
+            donor_enc = freeze(raw["gen_params"]["encoder"])
+            donor_bs = freeze(raw["batch_stats"]["encoder"])
+        except (KeyError, TypeError) as e:
+            raise ValueError(
+                f"checkpoint under {donor_dir!r} has no encoder subtree "
+                "(is it a TrainState checkpoint?)"
+            ) from e
+        own_enc = self.state.gen_params["encoder"]
+        donor_shapes = jax.tree.map(lambda x: jnp.asarray(x).shape, donor_enc)
+        own_shapes = jax.tree.map(lambda x: x.shape, own_enc)
+        if jax.tree.structure(donor_shapes) != jax.tree.structure(own_shapes) or (
+            jax.tree.leaves(donor_shapes) != jax.tree.leaves(own_shapes)
+        ):
+            raise ValueError(
+                f"encoder in {donor_dir!r} (step {step}) does not match this "
+                "model's encoder structure — same encoder_depth/stage sizes "
+                "required for init_encoder_from"
+            )
+        cast = lambda ref, x: jnp.asarray(x, ref.dtype)
+        new_gen = dict(self.state.gen_params)
+        new_gen["encoder"] = jax.tree.map(cast, own_enc, donor_enc)
+        new_bs = dict(self.state.batch_stats)
+        new_bs["encoder"] = jax.tree.map(
+            cast, self.state.batch_stats["encoder"], donor_bs
+        )
+        from flax.core import FrozenDict
+
+        self.state = self.state.replace(
+            gen_params=FrozenDict(new_gen), batch_stats=FrozenDict(new_bs)
+        )
+        print(f"initialized encoder from {donor_dir} (step {step})")
 
     # ------------------------------------------------------------------
     def restore(self) -> Optional[int]:

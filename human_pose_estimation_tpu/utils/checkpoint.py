@@ -101,6 +101,23 @@ def restore_train_state(directory: str, template_state) -> Tuple[Any, Optional[i
     return state, step
 
 
+def restore_raw(directory: str, step: Optional[int] = None) -> Tuple[Any, int]:
+    """Restore a checkpoint WITHOUT a structural template.
+
+    Returns the saved pytree as plain nested containers plus the step.
+    Used for cross-run weight grafting (``Config.init_encoder_from``),
+    where the donor run's optimizer/schedule structure need not match the
+    current one. Raises FileNotFoundError when no checkpoint exists.
+    """
+    step = latest_step(directory) if step is None else step
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint under {directory!r}")
+    mgr = _manager(directory)
+    raw = mgr.restore(step)
+    mgr.close()
+    return raw, step
+
+
 def restore_for_inference(directory: str, hmr, config) -> Tuple[dict, np.ndarray]:
     """Restore only what serving needs: model variables + mean theta.
 

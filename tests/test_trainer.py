@@ -472,3 +472,80 @@ def test_validate_checkpoint_int8_task_metrics(workdir):
     assert abs(i8["pck@0.5"] - f32["pck@0.5"]) <= 0.01, (f32, i8)
     assert i8["mean_kpr_loss"] == pytest.approx(f32["mean_kpr_loss"], rel=0.02)
     assert i8["mean_mr_loss"] == pytest.approx(f32["mean_mr_loss"], rel=0.05)
+
+
+def test_init_encoder_from_grafts_pretrained_encoder(workdir, tmp_path):
+    """Config.init_encoder_from (the reference's ImageNet-init analog,
+    ref src/models.py:35-41): a fresh Trainer must copy the donor
+    checkpoint's encoder params + BN statistics, keep a FRESH regressor
+    and step=0, and reject a donor whose encoder structure differs."""
+    files = [os.path.join(workdir, "lsp_16.tfrecords")]
+
+    donor_cfg = _config(
+        workdir,
+        checkpoint_dir=str(tmp_path / "donor_ck"),
+        use_mesh_repro_loss=False,
+        encoder_only=True,
+        do_bone_evaluation=False,
+        use_validation=False,
+        epoch=1000,
+    )
+    donor = Trainer(
+        donor_cfg,
+        dataset=ImagePipeline(donor_cfg, files=files, mode="train", canvas=96),
+        encoder_stage_sizes=(1, 1, 1, 1),
+    )
+    donor.train(max_steps=2)
+    donor.save()
+
+    fresh_cfg = donor_cfg.replace(
+        checkpoint_dir=str(tmp_path / "fresh_ck"),
+        init_encoder_from=str(tmp_path / "donor_ck"),
+    )
+    grafted = Trainer(
+        fresh_cfg,
+        dataset=ImagePipeline(fresh_cfg, files=files, mode="train", canvas=96),
+        encoder_stage_sizes=(1, 1, 1, 1),
+    )
+    assert int(grafted.state.step) == 0
+    # encoder params + BN stats match the TRAINED donor exactly
+    for a, b in zip(
+        jax.tree.leaves(grafted.state.gen_params["encoder"]),
+        jax.tree.leaves(donor.state.gen_params["encoder"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree.leaves(grafted.state.batch_stats),
+        jax.tree.leaves(donor.state.batch_stats),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # regressor is a FRESH init (same seed => equals a clean Trainer's,
+    # differs from the donor's trained weights)
+    clean = Trainer(
+        donor_cfg.replace(checkpoint_dir=str(tmp_path / "clean_ck")),
+        dataset=None,
+        validation_only=True,
+        encoder_stage_sizes=(1, 1, 1, 1),
+    )
+    for g, c in zip(
+        jax.tree.leaves(grafted.state.gen_params["regressor"]),
+        jax.tree.leaves(clean.state.gen_params["regressor"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(c))
+    diffs = [
+        float(np.abs(np.asarray(g) - np.asarray(d)).max())
+        for g, d in zip(
+            jax.tree.leaves(grafted.state.gen_params["regressor"]),
+            jax.tree.leaves(donor.state.gen_params["regressor"]),
+        )
+    ]
+    assert max(diffs) > 0  # donor's regressor actually trained away
+
+    # structure mismatch (different encoder) -> loud error
+    with pytest.raises(ValueError, match="does not match"):
+        Trainer(
+            fresh_cfg.replace(checkpoint_dir=str(tmp_path / "bad_ck")),
+            dataset=None,
+            validation_only=True,
+            encoder_stage_sizes=(1, 1, 2, 1),
+        )

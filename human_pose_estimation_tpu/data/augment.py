@@ -195,24 +195,41 @@ def extract_silhouette(
     """
     n, h, w = segs.shape[:3]
     m = segs.reshape(n, h * w) > threshold
-    # Visit pixels in a strided permutation of the flattened index space
-    # (stride coprime with h*w), so truncation at the cap samples the whole
-    # silhouette instead of its top rows.
     total = h * w
-    stride = 9973 if total % 9973 else 101  # primes; coprime for our sizes
-    perm = np.asarray((np.arange(total, dtype=np.int64) * stride) % total, np.int32)
-    m_perm = m[:, perm]
-
-    def one(mask1d):
-        (idx_p,) = jnp.nonzero(mask1d, size=max_points, fill_value=0)
-        count = jnp.sum(mask1d)
-        valid = (
-            jax.lax.broadcasted_iota(jnp.int32, (max_points, 1), 0)[:, 0] < count
-        )
-        flat = jnp.asarray(perm)[idx_p]
-        ys = flat // w
-        xs = flat % w
-        pts = jnp.stack([xs, ys], axis=-1).astype(jnp.float32)
-        return pts, valid.astype(jnp.float32)
-
-    return jax.vmap(one)(m_perm)
+    # Visit pixels in a strided order (stride coprime with h*w) so that
+    # truncation at the cap samples the whole figure instead of its top
+    # rows. Implemented gather-free: pixel f's visit position is
+    # (f*stride) % total, computed arithmetically, and compaction is ONE
+    # batched sort. When key and flat index both fit 16 bits (every crop
+    # up to 256x256) they pack into a single uint32 so a SINGLE-operand
+    # sort does the whole compaction — 41.7 -> ~4 ms at B64/P=2048 and
+    # 52.9 -> ~4 ms at P=16384 vs the previous vmap(jnp.nonzero(size=...))
+    # (chained+fenced protocol; PERF.md "Silhouette extraction"). Larger
+    # images fall back to a two-operand (key, index) sort. int32-safe:
+    # the stride is chosen so (total-1)*stride < 2^31.
+    iota = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)  # flat f
+    if total <= 1 << 16:
+        # 16-bit multiplicative hash (odd constant -> bijective mod 2^16):
+        # one multiply + AND, vs an integer `% total` which lowers to a
+        # slow division sequence on the VPU.
+        key = (iota * 40503) & 0xFFFF
+        pack = (key.astype(jnp.uint32) << 16) | iota.astype(jnp.uint32)
+        pack = jnp.where(m, pack, jnp.uint32(0xFFFFFFFF))
+        sorted_f = (
+            jax.lax.sort(pack, dimension=1)[:, :max_points]
+            & jnp.uint32(0xFFFF)
+        ).astype(jnp.int32)
+    else:
+        for stride in (9973, 101, 7, 3, 1):
+            if total % stride and (total - 1) * stride < 2**31:
+                break
+        keys = jnp.where(m, (iota * stride) % total, jnp.int32(2**30))
+        _, idx = jax.lax.sort((keys, iota), dimension=1, num_keys=1)
+        sorted_f = idx[:, :max_points]
+    counts = jnp.sum(m, axis=1)
+    valid = iota[:, :max_points] < counts[:, None]
+    flat = jnp.where(valid, sorted_f, 0)  # 0-padded
+    ys = flat // w
+    xs = flat % w
+    pts = jnp.stack([xs, ys], axis=-1).astype(jnp.float32)
+    return pts, valid.astype(jnp.float32)

@@ -121,29 +121,45 @@ def restore_raw(directory: str, step: Optional[int] = None) -> Tuple[Any, int]:
 def restore_for_inference(directory: str, hmr, config) -> Tuple[dict, np.ndarray]:
     """Restore only what serving needs: model variables + mean theta.
 
+    Restores WITHOUT a structural template (``restore_raw``) and extracts
+    just params/batch_stats/mean_theta, so serving never depends on the
+    training run's optimizer-state structure — a checkpoint trained with
+    any ``Config.lr_schedule`` (constant, cosine, ...) or a future
+    optimizer serves identically.
+
     Falls back to fresh init (like the reference's ``expect_partial``
     restore of a missing checkpoint) when the directory has no checkpoints.
     """
-    from ..train.state import create_train_state
-    from ..models.critic import Critic
     from ..utils.mean_params import load_mean_theta
 
-    mean = load_mean_theta(config.mean_params_path)
-    template = create_train_state(
-        jax.random.PRNGKey(config.seed),
-        hmr,
-        Critic(),
-        mean,
-        config.generator_lr,
-        config.critic_lr,
-        img_size=config.img_size,
-    )
-    state, step = restore_train_state(directory, template)
-    variables = {
-        "params": {
-            "encoder": state.gen_params["encoder"],
-            "regressor": state.gen_params["regressor"],
-        },
-        "batch_stats": state.batch_stats,
-    }
-    return variables, np.asarray(state.gen_params["mean_theta"])
+    step = latest_step(directory)
+    if step is None:
+        variables = hmr.init(
+            jax.random.PRNGKey(config.seed), img_size=config.img_size
+        )
+        mean = load_mean_theta(config.mean_params_path)
+        fresh = {
+            "params": {
+                "encoder": variables["params"]["encoder"],
+                "regressor": variables["params"]["regressor"],
+            },
+            "batch_stats": variables["batch_stats"],
+        }
+        return fresh, np.asarray(mean, np.float32)
+
+    raw, _ = restore_raw(directory, step)
+    try:
+        restored = {
+            "params": {
+                "encoder": raw["gen_params"]["encoder"],
+                "regressor": raw["gen_params"]["regressor"],
+            },
+            "batch_stats": raw["batch_stats"],
+        }
+        mean_theta = np.asarray(raw["gen_params"]["mean_theta"], np.float32)
+    except (KeyError, TypeError) as e:
+        raise ValueError(
+            f"checkpoint under {directory!r} has no generator subtree "
+            "(is it a TrainState checkpoint?)"
+        ) from e
+    return restored, mean_theta

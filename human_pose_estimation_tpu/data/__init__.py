@@ -53,7 +53,26 @@ def make_image_pipeline(
 
         return ImagePipeline(cfg, datasets=names, mode=mode, **kw)
     files = npz_shard_files(cfg.data_dir, names)
-    kw.pop("shard_by_host", None)  # npz paths are single-host
+    shard_by_host = bool(kw.pop("shard_by_host", False))
+    if cfg.input_pipeline == "grain":
+        from .grain_pipeline import GrainImagePipeline
+
+        kw.pop("device_preprocess", None)
+        return GrainImagePipeline(
+            cfg, files, mode=mode, shard_by_host=shard_by_host, **kw
+        )
+    # npz/native have no per-host example sharding: every process would
+    # iterate the FULL dataset. Silently duplicating data across hosts is
+    # wrong (duplicated epochs, wasted work), so refuse loudly.
+    import jax
+
+    if shard_by_host and jax.process_count() > 1:
+        raise ValueError(
+            f"input_pipeline={cfg.input_pipeline!r} cannot shard the input "
+            "stream across hosts; use input_pipeline='grain' (per-host "
+            "example sharding + resumable iterator) or 'tfrecord' for "
+            "multi-host training"
+        )
     if cfg.input_pipeline == "npz":
         from .npz_dataset import NpzImagePipeline
 
@@ -63,11 +82,6 @@ def make_image_pipeline(
         from .native_pipeline import NativeImagePipeline
 
         return NativeImagePipeline(cfg, files, mode=mode, **kw)
-    if cfg.input_pipeline == "grain":
-        from .grain_pipeline import GrainImagePipeline
-
-        kw.pop("device_preprocess", None)
-        return GrainImagePipeline(cfg, files, mode=mode, **kw)
     raise ValueError(
         f"unknown input_pipeline {cfg.input_pipeline!r} "
         "(expected 'tfrecord', 'npz', 'native', or 'grain')"

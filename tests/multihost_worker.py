@@ -3,14 +3,14 @@
 process with 2 virtual CPU devices; together they form a 4-device
 data-parallel mesh spanning two hosts.
 
-    python tests/multihost_worker.py <port> <process_id> <workdir>
+    python tests/multihost_worker.py <port> <process_id> <workdir> [pipeline]
 
 Exercises the full multi-host path (SURVEY.md §2 parallelism plan):
 jax.distributed.initialize -> per-host sharded input pipeline (example-
-level sharding of a single tfrecord file) -> global-batch assembly ->
-DP train step (gradient all-reduce inserted by XLA) -> Orbax save
-(all processes participate) -> restore. Prints one JSON line the parent
-test asserts on.
+level sharding of a single tfrecord file, or grain's per-host slice) ->
+global-batch assembly -> DP train step (gradient all-reduce inserted by
+XLA) -> Orbax save (all processes participate) -> restore. Prints one
+JSON line the parent test asserts on.
 """
 import json
 import os
@@ -19,6 +19,7 @@ import sys
 
 def main() -> None:
     port, pid, workdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    pipeline = sys.argv[4] if len(sys.argv) > 4 else "tfrecord"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
@@ -32,6 +33,18 @@ def main() -> None:
     assert len(jax.devices()) == 4, jax.devices()
     assert len(jax.local_devices()) == 2
 
+    # Persistent compile cache (same directory as the pytest suite's):
+    # warm runs compile nothing, so the two workers reach every
+    # synchronization point within milliseconds of each other.
+    from human_pose_estimation_tpu.utils.jax_cache import ensure_compilation_cache
+
+    ensure_compilation_cache(
+        os.environ.get(
+            "HPE_TEST_COMPILATION_CACHE",
+            os.path.expanduser("~/.cache/hpe_jax_test_cache"),
+        )
+    )
+
     import numpy as np
 
     from human_pose_estimation_tpu.config import Config
@@ -43,7 +56,7 @@ def main() -> None:
         data_dir=workdir,
         logs=os.path.join(workdir, "logs"),
         model_dir=os.path.join(workdir, "logs", f"mh{pid}"),
-        checkpoint_dir=os.path.join(workdir, "ckpt_mh"),
+        checkpoint_dir=os.path.join(workdir, f"ckpt_mh_{pipeline}"),
         datasets=["lsp_16"],
         val_datasets=["lsp_16"],
         mocap_datasets=["CMU"],
@@ -57,18 +70,49 @@ def main() -> None:
         log_img_step=0,
         checkpoint_every_epochs=10**6,
     )
-    files = [os.path.join(workdir, "lsp_16.tfrecords")]
-    # ONE tfrecord file + 2 hosts -> example-level ds.shard path.
-    pipe = ImagePipeline(
-        cfg,
-        files=files,
-        mode="train",
-        augment=False,
-        shuffle=False,
-        repeat=True,
-        canvas=64,
-        shard_by_host=True,
-    )
+    if pipeline == "tfrecord":
+        files = [os.path.join(workdir, "lsp_16.tfrecords")]
+        # ONE tfrecord file + 2 hosts -> example-level ds.shard path.
+        pipe = ImagePipeline(
+            cfg,
+            files=files,
+            mode="train",
+            augment=False,
+            shuffle=False,
+            repeat=True,
+            canvas=64,
+            shard_by_host=True,
+        )
+    elif pipeline == "grain":
+        from human_pose_estimation_tpu.data import make_image_pipeline
+
+        # The factory must refuse non-shardable host pipelines under
+        # multi-process rather than silently duplicating the dataset.
+        for bad in ("npz", "native"):
+            try:
+                make_image_pipeline(
+                    cfg.replace(input_pipeline=bad),
+                    mode="train",
+                    shard_by_host=True,
+                )
+                raise AssertionError(
+                    f"input_pipeline={bad} accepted shard_by_host multi-host"
+                )
+            except ValueError:
+                pass
+        # Through the REAL factory (the shard_by_host wiring under test).
+        pipe = make_image_pipeline(
+            cfg.replace(input_pipeline="grain"),
+            mode="train",
+            shard_by_host=True,
+            augment=False,
+            shuffle=False,
+            repeat=True,
+            canvas=64,
+        )
+    else:
+        raise SystemExit(f"unknown pipeline {pipeline!r}")
+
     trainer = Trainer(
         cfg,
         dataset=pipe,
@@ -79,9 +123,32 @@ def main() -> None:
     trainer.mocap_dataset = MocapPipeline(cfg, trainer.smpl, shuffle=False)
 
     # fingerprint of this host's local input slice (parent asserts the two
-    # hosts read DISJOINT example sets)
-    batch, _ = next(iter(pipe))
-    local_fp = float(np.abs(np.asarray(batch.images)).sum())
+    # hosts read DISJOINT example sets that together cover the dataset)
+    batch, nvalid = next(iter(pipe))
+    local_imgs = np.asarray(batch.images)[:nvalid]
+    example_ids = [round(float(np.abs(im).sum()), 3) for im in local_imgs]
+    local_fp = float(np.abs(local_imgs).sum())
+
+    # De-flake (r3 VERDICT weak #1): XLA creates a NEW Gloo context (with
+    # a fixed ~30 s KV-rendezvous timeout) per compiled collective, so the
+    # first execution of the train step rendezvouses no matter what ran
+    # earlier. Cold XLA:CPU compiles can skew the two processes by
+    # minutes, blowing that 30 s window. Fix: AOT-compile the step in both
+    # processes first (lower().compile() runs no collectives), then meet
+    # at a KV-store barrier whose timeout WE control, so both processes
+    # enter the first real execution within milliseconds.
+    mocap_batch = next(iter(trainer.mocap_dataset))
+    trainer.train_step.lower(
+        trainer.state,
+        trainer._shard(batch),
+        trainer._shard(mocap_batch),
+        jax.random.PRNGKey(0),
+    ).compile()
+    from jax._src import distributed
+
+    distributed.global_state.client.wait_at_barrier(
+        "hpe_train_step_compiled", timeout_in_ms=13 * 60 * 1000
+    )
 
     history = trainer.train(max_steps=2)
     # all-reduced state: every host must end with identical parameters
@@ -96,7 +163,9 @@ def main() -> None:
         + json.dumps(
             {
                 "pid": pid,
+                "pipeline": pipeline,
                 "local_input_fp": round(local_fp, 3),
+                "example_ids": example_ids,
                 "param_fp": round(param_fp, 6),
                 "kpr": [round(v, 6) for v in history["kpr"]],
                 "restored_step": restored_step,

@@ -202,9 +202,10 @@ def extract_silhouette(
     # (f*stride) % total, computed arithmetically, and compaction is ONE
     # batched sort. When key and flat index both fit 16 bits (every crop
     # up to 256x256) they pack into a single uint32 so a SINGLE-operand
-    # sort does the whole compaction — 41.7 -> ~4 ms at B64/P=2048 and
-    # 52.9 -> ~4 ms at P=16384 vs the previous vmap(jnp.nonzero(size=...))
-    # (chained+fenced protocol; PERF.md "Silhouette extraction"). Larger
+    # sort does the whole compaction — measured 26.9 -> 3.5 ms at
+    # B64/P=2048 and 36.8 -> 3.5 ms at P=16384 vs the previous
+    # vmap(jnp.nonzero(size=...)) (benchmarks/silhouette_bench.py,
+    # chained+fenced protocol; PERF.md "Silhouette extraction"). Larger
     # images fall back to a two-operand (key, index) sort. int32-safe:
     # the stride is chosen so (total-1)*stride < 2^31.
     iota = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)  # flat f
@@ -220,10 +221,24 @@ def extract_silhouette(
             & jnp.uint32(0xFFFF)
         ).astype(jnp.int32)
     else:
-        for stride in (9973, 101, 7, 3, 1):
+        # Pick the largest prime stride that (a) is coprime with total
+        # (primes: total % p != 0 suffices) and (b) keeps iota * stride
+        # inside int32 before the mod. Larger strides interleave better.
+        for stride in (8191, 4093, 2039, 1021, 509, 251, 127, 61, 31, 13,
+                       7, 5, 3, 1):
             if total % stride and (total - 1) * stride < 2**31:
                 break
-        keys = jnp.where(m, (iota * stride) % total, jnp.int32(2**30))
+        if stride == 1:  # only for ~2^30-pixel seg crops; never silently
+            import warnings
+
+            warnings.warn(
+                f"extract_silhouette: {h}x{w} seg too large for an "
+                "interleaved truncation stride; falling back to row order "
+                "(truncation will bias toward top rows)",
+                stacklevel=2,
+            )
+        # Sentinel above every real key: keys are < total <= 2^31 - 1.
+        keys = jnp.where(m, (iota * stride) % total, jnp.int32(2**31 - 1))
         _, idx = jax.lax.sort((keys, iota), dimension=1, num_keys=1)
         sorted_f = idx[:, :max_points]
     counts = jnp.sum(m, axis=1)

@@ -142,6 +142,64 @@ def test_extract_silhouette():
     assert ys.max() - ys.min() > 4  # interleaving spreads rows
 
 
+@pytest.mark.parametrize(
+    "h,w",
+    [
+        (16, 16),  # packed single-sort path (h*w <= 2^16)
+        (256, 256),  # packed path at its exact boundary (h*w == 2^16)
+        (272, 260),  # two-operand-sort fallback (h*w > 2^16)
+    ],
+)
+def test_extract_silhouette_matches_nonzero_oracle(rng, h, w):
+    """Both compaction branches against the plain jnp.nonzero semantics
+    the sort-based rewrite replaced: identical point SET when under the
+    cap, a true subset spread across the figure when truncated, and
+    exact zero padding. (Feeds the ragged tf.where(seg > 0) silhouette
+    of ref src/trainer.py:443.)"""
+    n = 3
+    segs = np.zeros((n, h, w, 1), np.float32)
+    # image 0: sparse random mask, under the cap
+    m0 = rng.rand(h, w) > 0.999
+    segs[0, ..., 0] = m0.astype(np.float32)
+    # image 1: dense blob, over the cap
+    segs[1, h // 4 : 3 * h // 4, w // 4 : 3 * w // 4, 0] = 1.0
+    # image 2: empty
+    max_points = 64
+    pts, mask = augment.extract_silhouette(jnp.asarray(segs), max_points)
+    pts, mask = np.asarray(pts), np.asarray(mask)
+
+    for i in range(n):
+        ys, xs = np.nonzero(segs[i, ..., 0] > 0)
+        active = {(int(x), int(y)) for x, y in zip(xs, ys)}
+        count = len(active)
+        k = int(mask[i].sum())
+        assert k == min(count, max_points)
+        # mask is a prefix (valid rows first), padding exact zeros
+        assert (mask[i][:k] == 1).all() and (mask[i][k:] == 0).all()
+        assert (pts[i][k:] == 0).all()
+        got = {tuple(p) for p in pts[i][:k].astype(int)}
+        assert len(got) == k, "duplicate points emitted"
+        if count <= max_points:
+            assert got == active
+        else:
+            assert got <= active, "truncation emitted a non-silhouette pixel"
+            # interleaving samples the whole blob, not its top rows
+            got_ys = pts[i][:k, 1]
+            assert got_ys.max() - got_ys.min() > (3 * h // 4 - h // 4) * 0.5
+
+
+def test_extract_silhouette_threshold(rng):
+    seg = np.zeros((1, 16, 16, 1), np.float32)
+    seg[0, 2, 3] = 0.4
+    seg[0, 5, 6] = 0.9
+    pts, mask = augment.extract_silhouette(
+        jnp.asarray(seg), max_points=4, threshold=0.5
+    )
+    pts, mask = np.asarray(pts), np.asarray(mask)
+    assert mask[0].sum() == 1
+    assert tuple(pts[0][0].astype(int)) == (6, 5)
+
+
 def test_deterministic_eval_mode(rng):
     img, seg, kp, center, hw = _example(rng)
     cfg = augment.AugmentConfig(out_size=64, augment=False)

@@ -262,7 +262,14 @@ class NpzMocapPipeline:
         self.batch = cfg.batch_size * cfg.num_stage
         self.shuffle = shuffle
         self.device_forward = device_forward
-        self.np_rng = np.random.RandomState(cfg.seed if seed is None else seed)
+        self.seed = cfg.seed if seed is None else seed
+        # Resumable position: the per-epoch order derives solely from
+        # (seed, epoch), so (epoch, pos) is the COMPLETE stream state —
+        # the mocap analog of the grain image pipeline's checkpointable
+        # iterator (the reference restores weights only,
+        # ref src/trainer.py:719-721).
+        self._epoch = 0
+        self._pos = 0
 
         def to_mocap(pose, shape):
             out = smpl_forward(smpl, shape, pose, joint_type="cocoplus")
@@ -272,19 +279,36 @@ class NpzMocapPipeline:
 
         self._fwd = jax.jit(to_mocap)
 
+    # ------------------------------------------------------ checkpointing
+    def get_state(self) -> dict:
+        return {"epoch": self._epoch, "pos": self._pos}
+
+    def set_state(self, state: dict) -> None:
+        self._epoch = int(state["epoch"])
+        self._pos = int(state["pos"])
+
+    def _order(self, epoch: int) -> np.ndarray:
+        order = np.arange(self.pose.shape[0])
+        if self.shuffle:
+            np.random.RandomState((self.seed + 77003 * epoch) % 2**31).shuffle(
+                order
+            )
+        return order
+
     def __iter__(self):
         import jax.numpy as jnp
 
         n = self.pose.shape[0]
         while True:
-            order = np.arange(n)
-            if self.shuffle:
-                self.np_rng.shuffle(order)
-            for start in range(0, n - self.batch + 1, self.batch):
-                idx = order[start : start + self.batch]
+            order = self._order(self._epoch)
+            while self._pos + self.batch <= n:
+                idx = order[self._pos : self._pos + self.batch]
+                self._pos += self.batch
                 pose = jnp.asarray(self.pose[idx])
                 shape = jnp.asarray(self.shape[idx])
                 if self.device_forward:
                     yield self._fwd(pose, shape)
                 else:
                     yield pose, shape
+            self._epoch += 1
+            self._pos = 0

@@ -223,20 +223,39 @@ class Trainer:
         )
         if self.mesh is not None:
             self.state = pmesh.replicate(self.state, self.mesh)
-        # Resume the input stream too, when the pipeline supports it
-        # (grain); the reference restores weights only.
-        if step is not None and hasattr(self.dataset, "set_state"):
+        # Resume the input streams too, when the pipelines support it
+        # (grain images; npz-backed mocap); the reference restores
+        # weights only.
+        if step is not None:
             input_state = ckpt.restore_input_state(self.config.checkpoint_dir, step)
             if input_state is not None:
-                self.dataset.set_state(input_state)
+                # current format: {"image": ..., "mocap": ...}; legacy
+                # checkpoints stored the image-pipeline state bare.
+                legacy = "image" not in input_state and "mocap" not in input_state
+                img_state = input_state if legacy else input_state.get("image")
+                mocap_state = None if legacy else input_state.get("mocap")
+                if img_state is not None and hasattr(self.dataset, "set_state"):
+                    self.dataset.set_state(img_state)
+                if mocap_state is not None and hasattr(
+                    self.mocap_dataset, "set_state"
+                ):
+                    self.mocap_dataset.set_state(mocap_state)
         return step
 
     def save(self) -> None:
-        input_state = (
+        img_state = (
             self.dataset.get_state()
             if hasattr(self.dataset, "get_state")
             else None
         )
+        mocap_state = (
+            self.mocap_dataset.get_state()
+            if hasattr(self.mocap_dataset, "get_state")
+            else None
+        )
+        input_state = None
+        if img_state is not None or mocap_state is not None:
+            input_state = {"image": img_state, "mocap": mocap_state}
         ckpt.save_train_state(
             self.config.checkpoint_dir, self.state, input_state=input_state
         )

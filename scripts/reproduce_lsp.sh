@@ -37,6 +37,9 @@ cd "$(dirname "$0")/.."
 WORK="${WORK:-runs/reproduce_lsp}"
 EPOCHS="${EPOCHS:-120}"          # report.pdf Table 2 schedule
 BATCH="${BATCH:-8}"              # reference default (src/config.py:59)
+# Extra flags appended to the train command, e.g.
+#   EXTRA_TRAIN_FLAGS="--init_encoder_from runs/imagenet_donor"
+EXTRA_TRAIN_FLAGS="${EXTRA_TRAIN_FLAGS:-}"
 mkdir -p "$WORK"
 
 if [[ "${REAL_ASSETS:-0}" == "1" ]]; then
@@ -83,6 +86,7 @@ python -m human_pose_estimation_tpu.cli.train \
   --use_gradient_penalty true --encoder_only false \
   --mr_metric_stages last --scalar_log_step 10 \
   "${NUM_EXAMPLES_FLAG[@]}" \
+  $EXTRA_TRAIN_FLAGS \
   --logs "$WORK/logs" --checkpoint_dir "$WORK/ckpt"
 
 # ---- evaluate against the reference's numbers --------------------------

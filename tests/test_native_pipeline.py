@@ -242,3 +242,40 @@ def test_native_window_crop_matches_npz(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(a.seg_mask).sum(), np.asarray(b.seg_mask).sum()
     )
+
+
+def test_npz_mocap_pipeline_resume(tmp_path, tiny_model):
+    """(epoch, pos) is the complete mocap stream state: a fresh pipeline
+    with set_state continues the exact same sequence, across the epoch
+    boundary (per-epoch order derives from (seed, epoch) only)."""
+    from human_pose_estimation_tpu.data.npz_dataset import (
+        NpzMocapPipeline,
+        write_mocap_npz_shard,
+    )
+
+    rng = np.random.RandomState(1)
+    n = 40  # batch 6 -> 6 batches/epoch; 8 draws cross the boundary
+    path = str(tmp_path / "mocap.npz")
+    write_mocap_npz_shard(
+        path,
+        rng.randn(n, 72).astype(np.float32) * 0.2,
+        rng.randn(n, 10).astype(np.float32) * 0.03,
+    )
+    cfg = Config(batch_size=2, num_stage=3, img_size=64)
+
+    a = NpzMocapPipeline(cfg, tiny_model, [path], device_forward=False)
+    it_a = iter(a)
+    for _ in range(3):
+        next(it_a)
+    snap = a.get_state()
+    cont = [np.asarray(next(it_a)[0]) for _ in range(5)]
+
+    b = NpzMocapPipeline(cfg, tiny_model, [path], device_forward=False)
+    b.set_state(snap)
+    it_b = iter(b)
+    resumed = [np.asarray(next(it_b)[0]) for _ in range(5)]
+    for x, y in zip(cont, resumed):
+        np.testing.assert_array_equal(x, y)
+
+    # distinct epochs shuffle differently
+    assert not np.array_equal(a._order(0), a._order(1))

@@ -109,3 +109,40 @@ def test_port_regressor_rejects_wrong_layer_count():
     bad = keras.Sequential([layers.Input((8,)), layers.Dense(4)])
     with pytest.raises(ValueError, match="3 weighted layers"):
         port_regressor(bad)
+
+
+@pytest.mark.slow
+def test_import_encoder_cli_builds_init_donor(tmp_path):
+    """cli/import_encoder: Keras ResNet-50 weights (local .h5 path, the
+    offline ImageNet flow of ref src/models.py:35-41) -> step-0 donor
+    checkpoint whose encoder subtree is exactly the ported weights and
+    which restore_raw (the --init_encoder_from consumer) can read."""
+    tf = pytest.importorskip("tensorflow")
+    from tensorflow.keras import applications as kapps
+
+    from human_pose_estimation_tpu.cli import import_encoder
+    from human_pose_estimation_tpu.core.smpl import save_model_npz
+    from human_pose_estimation_tpu.models.port_keras import port_resnet50
+    from human_pose_estimation_tpu.utils import checkpoint as ckpt
+    from human_pose_estimation_tpu.utils.assets import synthetic_model
+
+    km = kapps.ResNet50(include_top=False, weights=None, pooling="avg")
+    h5 = str(tmp_path / "rn50.weights.h5")
+    km.save_weights(h5)
+    exp_params, exp_stats = port_resnet50(km)
+
+    model_path = str(tmp_path / "model.npz")
+    save_model_npz(synthetic_model(num_verts=120, seed=0), model_path)
+    donor = str(tmp_path / "donor")
+    import_encoder.main(
+        [
+            "--keras_weights", h5,
+            "--checkpoint_dir", donor,
+            "--smpl_model_path", model_path,
+            "--img_size", "56",
+        ]
+    )
+    raw, step = ckpt.restore_raw(donor)
+    assert step == 0
+    _assert_trees_close(raw["gen_params"]["encoder"], exp_params)
+    _assert_trees_close(raw["batch_stats"]["encoder"], exp_stats)

@@ -139,24 +139,28 @@ def mode_layers(args):
                 jax.lax.fori_loop(0, K, body, x).astype(jnp.float32)
             )
 
+        # NOTE: dgrad is a function of (ybar, w) only and wgrad of
+        # (x, ybar) only — chaining through x/w alone lets XLA hoist the
+        # whole gradient conv out of the loop (measured: "300 TFLOP/s").
+        # The chain must run through ybar, the one operand both depend on.
         def dgrad_prog(x, w, ybar):
-            def body(i, x):
+            def body(i, ybar):
                 _, vjp = jax.vjp(lambda x_: conv(x_, w), x)
                 (dx,) = vjp(ybar)
-                return x + dx[0, 0, 0, 0] * tiny
+                return ybar + dx[0, 0, 0, 0] * tiny
 
             return jnp.sum(
-                jax.lax.fori_loop(0, K, body, x).astype(jnp.float32)
+                jax.lax.fori_loop(0, K, body, ybar).astype(jnp.float32)
             )
 
         def wgrad_prog(x, w, ybar):
-            def body(i, w):
+            def body(i, ybar):
                 _, vjp = jax.vjp(lambda w_: conv(x, w_), w)
                 (dw,) = vjp(ybar)
-                return w + dw[0, 0, 0, 0] * tiny
+                return ybar + dw[0, 0, 0, 0] * tiny
 
             return jnp.sum(
-                jax.lax.fori_loop(0, K, body, w).astype(jnp.float32)
+                jax.lax.fori_loop(0, K, body, ybar).astype(jnp.float32)
             )
 
         ms_f = time_chain(fwd_prog, x, w)

@@ -24,12 +24,33 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite's cost is dominated by XLA:CPU
 # compiles of the fused train-step programs (minutes each); caching them
-# makes re-runs of the suite fast. Safe across sessions — keys include
-# program, flags, and device topology.
-_CACHE = os.environ.get(
-    "HPE_TEST_COMPILATION_CACHE", os.path.expanduser("~/.cache/hpe_jax_test_cache")
-)
+# makes re-runs of the suite fast. The directory is scoped by a CPU-
+# feature fingerprint: XLA:CPU AOT blobs embed the compile machine's
+# features, and jax's cache key does NOT — a cache written on a
+# different machine loads with "machine feature mismatch" errors and
+# can SIGILL (observed across build machines).
+
+
+def _machine_cache_dir() -> str:
+    import hashlib
+
+    fp = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    fp = hashlib.sha1(line.encode()).hexdigest()[:10]
+                    break
+    except OSError:
+        pass
+    return os.path.expanduser(f"~/.cache/hpe_jax_test_cache_{fp or 'unknown'}")
+
+
+_CACHE = os.environ.get("HPE_TEST_COMPILATION_CACHE") or _machine_cache_dir()
 if _CACHE:
+    # Workers spawned by tests (tests/multihost_worker.py) must share the
+    # same machine-scoped directory.
+    os.environ["HPE_TEST_COMPILATION_CACHE"] = _CACHE
     jax.config.update("jax_compilation_cache_dir", _CACHE)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

@@ -198,8 +198,10 @@ def test_two_process_distributed_train_and_checkpoint(tmp_path, pipeline):
     results = {}
     for out in outs:
         for line in out.splitlines():
-            if line.startswith("RESULT "):
-                r = json.loads(line[len("RESULT "):])
+            # "RESULT" can be glued to \r-progress-bar text, so search
+            # within the line rather than anchoring at its start.
+            if "RESULT " in line:
+                r = json.loads(line.split("RESULT ", 1)[1])
                 results[r["pid"]] = r
     assert set(results) == {0, 1}, f"missing worker results: {outs}"
     r0, r1 = results[0], results[1]

@@ -153,7 +153,10 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--pixels", type=int, default=2048)
     ap.add_argument("--verts", type=int, default=6890)
-    ap.add_argument("--chunk", type=int, default=64)
+    ap.add_argument(
+        "--chunk", type=int, default=128,
+        help="pixel tile size; 128 matches the production train path",
+    )
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
@@ -171,13 +174,6 @@ def main():
             run_variant, _bwd_kernel_f32idx, chunk=args.chunk
         ),
     }
-    # base kernel takes l1v_ref as optional kwarg; match call signature by
-    # wrapping so both produce 6 outputs.
-    def base_fn(count_ref, gt_ref, mask_ref, pred_ref, *outs, c):
-        return pc._bwd_kernel(count_ref, gt_ref, mask_ref, pred_ref, *outs, c=c)
-
-    variants["base"] = functools.partial(run_variant, base_fn, chunk=args.chunk)
-
     jitted = {
         name: jax.jit(lambda g, m, p, fn=fn: fn(g, m, p))
         for name, fn in variants.items()
@@ -195,12 +191,17 @@ def main():
         jax.block_until_ready(r)
 
     results = {n: [] for n in jitted}
+    names = list(jitted)
     for rep in range(args.reps):
-        for name, f in jitted.items():
+        # alternate variant order across reps so neither systematically
+        # absorbs residual warm-cache effects
+        for name in names if rep % 2 == 0 else reversed(names):
+            f = jitted[name]
+            jax.block_until_ready(f(gt, mask, pred))  # settle before timing
             t0 = time.perf_counter()
             for _ in range(args.iters):
                 r = f(gt, mask, pred)
-            jax.device_get(r[5][:1, :, :1])
+            jax.block_until_ready(r)
             dt = (time.perf_counter() - t0) / args.iters * 1e3
             results[name].append(dt)
     for name, ms in results.items():

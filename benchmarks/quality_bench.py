@@ -39,6 +39,7 @@ ABLATIONS = {
     "mr_only": (False, True, False),
     "combined_no_critic": (True, True, True),
     "kp_only_no_critic": (True, False, True),
+    "mr_only_no_critic": (False, True, True),
 }
 
 
@@ -81,6 +82,10 @@ def main():
     ap.add_argument("--train_name", default="lsp_train")
     ap.add_argument("--val_name", default="lsp_val")
     ap.add_argument("--regen", action="store_true", help="force dataset regen")
+    ap.add_argument(
+        "--out", default="quality_results.json",
+        help="results filename (written inside --out_dir)",
+    )
     args = ap.parse_args()
 
     import numpy as np
@@ -161,6 +166,8 @@ def main():
         if args.init_encoder_from:
             overrides["init_encoder_from"] = args.init_encoder_from
             name = f"{name}_pretrained"
+        if args.seed != 0:
+            name = f"{name}_s{args.seed}"
         cfg = Config(
             smpl_model_path=model_path,
             data_dir=out_dir,
@@ -239,6 +246,7 @@ def main():
             scale_ratio = float(np.mean(cam_s / np.maximum(gt_s, 1e-6)))
             row = {
                 "config": name,
+                "seed": args.seed,
                 "step": step,
                 "kpr": round(res["mean_kpr_loss"], 4),
                 "mr": round(res["mean_mr_loss"], 4),
@@ -275,7 +283,7 @@ def main():
         finals[r["config"]] = r
     for name, r in finals.items():
         print(json.dumps(r))
-    with open(os.path.join(out_dir, "quality_results.json"), "w") as f:
+    with open(os.path.join(out_dir, args.out), "w") as f:
         json.dump(results, f, indent=1)
 
 

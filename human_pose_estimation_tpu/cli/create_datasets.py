@@ -20,10 +20,43 @@ from ..data import tfrecords
 
 
 def _load_joints_mat(path: str) -> np.ndarray:
+    """Load joints.mat as (3, J, N), accepting either shipped orientation.
+
+    LSP-original ships (3, 14, N) while LSP-ext ships (14, 3, N) (ref
+    src/util/create_dataset.py:95-106 handles both); MPII conversions
+    come as (3, 16, N) or (16, 3, N). Normalized here so every branch
+    below sees (coords, joints, N).
+    """
     import scipy.io
 
     mat = scipy.io.loadmat(path)
-    return np.asarray(mat["joints"], np.float32)  # (3, 14, N) or (14, 3, N)
+    joints = np.asarray(mat["joints"], np.float32)
+    if joints.ndim != 3:
+        raise ValueError(f"{path}: expected 3-d joints array, got {joints.shape}")
+    if joints.shape[1] == 3 and joints.shape[0] != 3:
+        joints = joints.transpose(1, 0, 2)  # (J, 3, N) -> (3, J, N)
+    if joints.shape[0] != 3:
+        raise ValueError(f"{path}: cannot interpret orientation {joints.shape}")
+    return joints
+
+
+def _joint_indices(pairs) -> list:
+    """Joints.mat column for each pair, from the image file NUMBER.
+
+    The reference indexes labels by the number embedded in the image
+    filename, not the pair's position (ref create_dataset.py:130-135) —
+    this matters for LSP-ext, whose UP segmentations cover only a subset
+    of images, so pair position and image number diverge.
+    """
+    import re
+
+    idxs = []
+    for img_path, _ in pairs:
+        nums = re.findall(r"\d+", os.path.basename(img_path))
+        if not nums:
+            raise ValueError(f"no image number in filename: {img_path}")
+        idxs.append(int(nums[0]) - 1)
+    return idxs
 
 
 def main(argv=None) -> None:
@@ -63,32 +96,36 @@ def main(argv=None) -> None:
     if args.lsp_dir:
         joints = _load_joints_mat(args.lsp_joints)
         pairs = tfrecords.pair_lsp(args.lsp_dir, args.lsp_seg_dir)
+        idxs = _joint_indices(pairs)
+        # train/val split by image NUMBER (im0001..im1000 -> train), so a
+        # sparse segmentation set still splits where the reference's
+        # lsp_train/lsp_val tables expect (ref data_loader.py:19-32)
         k = args.train_count
+        train = [(p, i) for p, i in zip(pairs, idxs) if i < k]
+        val = [(p, i) for p, i in zip(pairs, idxs) if i >= k]
         n = create(
             os.path.join(args.output_dir, "lsp_train.tfrecords"),
-            pairs[:k],
-            joints[:, :, :k],
+            [p for p, _ in train],
+            joints[:, :, [i for _, i in train]],
             visibility_inverted=True,  # LSP stores occlusion (ref :19-22)
         )
         print(f"lsp_train: {n} examples")
-        if len(pairs) > k:
+        if val:
             n = create(
                 os.path.join(args.output_dir, "lsp_val.tfrecords"),
-                pairs[k:],
-                joints[:, :, k:],
+                [p for p, _ in val],
+                joints[:, :, [i for _, i in val]],
                 visibility_inverted=True,
             )
             print(f"lsp_val: {n} examples")
 
     if args.lsp_ext_dir:
         joints = _load_joints_mat(args.lsp_ext_joints)
-        if joints.shape[0] == 14:  # LSP-ext ships (14, 3, N)
-            joints = joints.transpose(1, 0, 2)
         pairs = tfrecords.pair_lsp_ext(args.lsp_ext_dir, args.lsp_ext_seg_dir)
         n = create(
             os.path.join(args.output_dir, "lsp_ext.tfrecords"),
             pairs,
-            joints,
+            joints[:, :, _joint_indices(pairs)],
             visibility_inverted=False,
         )
         print(f"lsp_ext: {n} examples")
@@ -99,7 +136,7 @@ def main(argv=None) -> None:
         n = create(
             os.path.join(args.output_dir, "mpii.tfrecords"),
             pairs,
-            joints,
+            joints[:, :, _joint_indices(pairs)],
             visibility_inverted=False,
             joint_order=tfrecords.MPII_TO_LSP,
         )

@@ -223,11 +223,17 @@ def create_mocap_tfrecord(out_path: str, poses: np.ndarray, shapes: np.ndarray) 
 
 
 def pair_lsp(img_dir: str, seg_dir: str) -> List[Tuple[str, str]]:
+    """Pair LSP images with their UP segmentation PNGs; images without a
+    segmentation are skipped (the UP release does not cover every LSP
+    image — the reference's dense vstack pairing, ref
+    create_dataset.py:145-149, crashes on such sets)."""
     imgs = sorted(glob(os.path.join(img_dir, "im*.jpg")))
-    return [
-        (p, os.path.join(seg_dir, os.path.basename(p)[:-4] + "_segmentation.png"))
-        for p in imgs
-    ]
+    pairs = []
+    for p in imgs:
+        s = os.path.join(seg_dir, os.path.basename(p)[:-4] + "_segmentation.png")
+        if os.path.exists(s):
+            pairs.append((p, s))
+    return pairs
 
 
 def pair_lsp_ext(img_dir: str, seg_dir: str) -> List[Tuple[str, str]]:
@@ -280,6 +286,7 @@ def parse_image_example(serialized):
         "width": tf.cast(f["image/width"], tf.int32),
         "center": tf.cast(tf.reshape(f["image/center"], (2,)), tf.int32),
         "label": label,
+        "filename": f["image/filename"],
     }
 
 

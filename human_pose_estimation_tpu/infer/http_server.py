@@ -11,6 +11,14 @@ Endpoints:
                   Response: .npz archive (generated_verts, generated_cams,
                   generated_joints, theta, kp2d) — compact and lossless;
                   or JSON (cams/joints only) with Accept: application/json.
+                  Query params (single-client latency knobs — zlib on the
+                  80 KB float mesh dominates response encoding time):
+                    ?format=raw   uncompressed .npz (no zlib pass)
+                    ?format=json  JSON body (same as the Accept header)
+                    ?outputs=generated_joints,generated_cams
+                                  restrict response keys per-request
+                                  (server-side filter; the predictor may
+                                  additionally be built with outputs=...)
   GET  /healthz   liveness + microbatcher stats (requests/batches/padding).
 
 Requests from concurrent clients coalesce into fixed-size device batches
@@ -64,9 +72,17 @@ def make_server(
             self._send(200, body, "application/json")
 
         def do_POST(self):
-            if self.path != "/predict":
+            from urllib.parse import parse_qs, urlparse
+
+            url = urlparse(self.path)
+            if url.path != "/predict":
                 return self._send(404, b'{"error": "not found"}', "application/json")
+            query = parse_qs(url.query)
+            fmt = (query.get("format") or ["npz"])[0]
+            keys = (query.get("outputs") or [""])[0]
             try:
+                if fmt not in ("npz", "raw", "json"):
+                    raise ValueError(f"unknown format {fmt!r} (npz|raw|json)")
                 import cv2
 
                 n = int(self.headers.get("Content-Length", 0))
@@ -81,23 +97,39 @@ def make_server(
                     img, _, _ = preprocess_for_inference(img, decode_size)
                     img = ((img + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
                 result = batcher.submit(img).result(timeout=request_timeout)
+                if keys:
+                    wanted = [k.strip() for k in keys.split(",") if k.strip()]
+                    missing = [k for k in wanted if k not in result]
+                    if missing:
+                        raise ValueError(
+                            f"unknown outputs {missing}; have {sorted(result)}"
+                        )
+                    result = {k: result[k] for k in wanted}
             except Exception as exc:
                 return self._send(
                     400,
                     json.dumps({"error": str(exc)}).encode(),
                     "application/json",
                 )
-            if "application/json" in (self.headers.get("Accept") or ""):
-                body = json.dumps(
-                    {
-                        k: result[k].tolist()
+            if fmt == "json" or "application/json" in (self.headers.get("Accept") or ""):
+                json_keys = (
+                    list(result)
+                    if keys
+                    else [
+                        k
                         for k in ("generated_cams", "generated_joints", "theta")
                         if k in result
-                    }
+                    ]
+                )
+                body = json.dumps(
+                    {k: np.asarray(result[k]).tolist() for k in json_keys}
                 ).encode()
                 return self._send(200, body, "application/json")
             buf = io.BytesIO()
-            np.savez_compressed(buf, **result)
+            if fmt == "raw":
+                np.savez(buf, **result)
+            else:
+                np.savez_compressed(buf, **result)
             self._send(200, buf.getvalue(), "application/x-npz")
 
     return ThreadingHTTPServer((host, port), Handler)

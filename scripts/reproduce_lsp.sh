@@ -57,7 +57,12 @@ if [[ "${REAL_ASSETS:-0}" == "1" ]]; then
     mkdir -p "$DATA_DIR/mocap_neutrMosh"
     cp -n "$MOCAP_DIR"/neutrSMPL_*.tfrecord "$DATA_DIR/mocap_neutrMosh/" || true
   fi
-  NUM_EXAMPLES_FLAG=()   # lsp_train + lsp_ext are in the built-in table
+  # lsp_train + lsp_ext are in the built-in table; NUM_EXAMPLES=n
+  # overrides for partial/miniature asset sets (epoch accounting).
+  NUM_EXAMPLES_FLAG=()
+  if [[ -n "${NUM_EXAMPLES:-}" ]]; then
+    NUM_EXAMPLES_FLAG=(--num_examples_override "$NUM_EXAMPLES")
+  fi
 else
   # Synthetic rehearsal: same pipeline, generated ground truth, short
   # schedule. Dataset names reuse lsp_train/lsp_val so the epoch table

@@ -385,6 +385,51 @@ def test_http_server_endpoints(predictor):
             assert len(body["generated_cams"]) == 3
             assert len(body["generated_joints"]) == 14
 
+        # ?format=raw -> uncompressed npz, byte-identical arrays
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict?format=raw",
+            data=enc.tobytes(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            zr = np.load(io.BytesIO(resp.read()))
+            np.testing.assert_array_equal(
+                zr["generated_verts"], z["generated_verts"]
+            )
+
+        # per-request outputs filter + json format via query param
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict?format=json&outputs=generated_joints",
+            data=enc.tobytes(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            body = jsonlib.loads(resp.read())
+            assert set(body) == {"generated_joints"}
+
+        # outputs filter applies to npz responses too
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict?outputs=generated_cams,theta",
+            data=enc.tobytes(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            zf = np.load(io.BytesIO(resp.read()))
+            assert set(zf.files) == {"generated_cams", "theta"}
+
+        # unknown format / unknown output key -> 400
+        for bad in ("?format=msgpack", "?outputs=nope"):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/predict{bad}",
+                data=enc.tobytes(),
+                method="POST",
+            )
+            try:
+                urllib.request.urlopen(req, timeout=30)
+                assert False, "expected HTTPError"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+
         with urllib.request.urlopen(
             f"http://127.0.0.1:{port}/healthz", timeout=10
         ) as resp:

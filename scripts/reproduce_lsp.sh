@@ -53,7 +53,8 @@ if [[ "${REAL_ASSETS:-0}" == "1" ]]; then
       --lsp_dir "$LSP_DIR" --lsp_seg_dir "$LSP_SEG_DIR" \
       --lsp_joints "$LSP_JOINTS" \
       --lsp_ext_dir "$LSPE_DIR" --lsp_ext_seg_dir "$LSPE_SEG_DIR" \
-      --lsp_ext_joints "$LSPE_JOINTS"
+      --lsp_ext_joints "$LSPE_JOINTS" \
+      --train_count "${TRAIN_COUNT:-1000}"
     mkdir -p "$DATA_DIR/mocap_neutrMosh"
     cp -n "$MOCAP_DIR"/neutrSMPL_*.tfrecord "$DATA_DIR/mocap_neutrMosh/" || true
   fi

@@ -244,10 +244,18 @@ def main():
             cam_s = np.concatenate(cams)[:, 0]
             gt_s = gt[f"{args.val_name}_cam"][: len(cam_s), 0]
             scale_ratio = float(np.mean(cam_s / np.maximum(gt_s, 1e-6)))
+            import resource
+
             row = {
                 "config": name,
                 "seed": args.seed,
                 "step": step,
+                # peak RSS in GB: one run of three sequential configs was
+                # OOM-killed at 123 GB (memory accumulates per config in
+                # one process — prefer one config per invocation)
+                "rss_gb": round(
+                    resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 1
+                ),
                 "kpr": round(res["mean_kpr_loss"], 4),
                 "mr": round(res["mean_mr_loss"], 4),
                 "pck@0.5": round(res["pck@0.5"], 4),

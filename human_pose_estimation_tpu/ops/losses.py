@@ -42,7 +42,12 @@ def keypoint_reprojection_loss(kp_gt: jax.Array, kp_pred: jax.Array) -> jax.Arra
       scalar loss.
     """
     vis = kp_gt[..., 2:3]
-    err = jnp.abs(kp_gt[..., :2] - kp_pred) * vis
+    # where(), not plain multiply: an invisible keypoint must contribute
+    # an exact 0 even when the prediction is non-finite (NaN * 0 = NaN
+    # would otherwise poison the whole batch — observed in padded-batch
+    # eval, where all-zero pad images can produce non-finite preds).
+    # Bit-identical to |err| * vis on finite inputs.
+    err = jnp.where(vis > 0, jnp.abs(kp_gt[..., :2] - kp_pred) * vis, 0.0)
     num_present = jnp.count_nonzero(vis) * 2
     denom = jnp.maximum(num_present, 1).astype(err.dtype)
     return jnp.sum(err) / denom

@@ -24,6 +24,23 @@ def test_kp_loss_all_hidden_is_zero():
     np.testing.assert_allclose(losses.keypoint_reprojection_loss(gt, pred), 0.0)
 
 
+def test_kp_loss_nan_pred_on_hidden_kp_does_not_poison():
+    """A non-finite prediction at an INVISIBLE keypoint must not leak into
+    the batch loss (NaN * 0 = NaN otherwise). Real case: padded-batch
+    eval, where all-zero pad images can produce non-finite predictions."""
+    gt = jnp.asarray([[[0.0, 0.0, 1.0], [5.0, 5.0, 0.0]]])
+    pred = jnp.asarray([[[0.1, -0.2], [np.nan, np.inf]]])
+    np.testing.assert_allclose(
+        losses.keypoint_reprojection_loss(gt, pred), 0.3 / 2, atol=1e-6
+    )
+    # whole padded example non-finite, zero visibility
+    gt2 = jnp.concatenate([gt, jnp.zeros((1, 2, 3))])
+    pred2 = jnp.concatenate([pred, jnp.full((1, 2, 2), np.nan)])
+    np.testing.assert_allclose(
+        losses.keypoint_reprojection_loss(gt2, pred2), 0.3 / 2, atol=1e-6
+    )
+
+
 def test_chamfer_identical_sets_zero():
     pts = jnp.asarray(np.random.RandomState(0).rand(2, 17, 2) * 100)
     mask = jnp.ones((2, 17))

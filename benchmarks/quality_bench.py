@@ -78,6 +78,14 @@ def main():
         "(pretrained-encoder transfer; Config.init_encoder_from)",
     )
     ap.add_argument("--encoder_depth", type=int, default=50)
+    ap.add_argument(
+        "--steps_per_call", type=int, default=1,
+        help="k-step multi-dispatch (Config.steps_per_call): amortizes "
+        "the relay dispatch latency that dominates this loop on "
+        "tunnel-attached chips (PERF.md 'Training-loop host overhead'). "
+        "Semantically identical to k=1 (train/step.py make_multi_step); "
+        "use one k for every cell of a compared matrix.",
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--train_name", default="lsp_train")
     ap.add_argument("--val_name", default="lsp_val")
@@ -192,6 +200,7 @@ def main():
             log_img_step=0,
             checkpoint_every_epochs=10**9,
             scalar_log_step=50,
+            steps_per_call=args.steps_per_call,
             seed=args.seed,
             **overrides,
         )

@@ -86,6 +86,17 @@ def main():
         "Semantically identical to k=1 (train/step.py make_multi_step); "
         "use one k for every cell of a compared matrix.",
     )
+    ap.add_argument(
+        "--fuse_preprocess", action="store_true",
+        help="one-dispatch training (Config.fuse_preprocess): host ships "
+        "raw canvases; augmentation + mocap SMPL forward + both updates "
+        "run as ONE program. Without it the k-step gather loop still "
+        "pays one device-preprocess dispatch per batch, which caps the "
+        "--steps_per_call win on relay-attached chips. Parity: "
+        "tests/test_train_step.py::test_fused_step_matches_unfused "
+        "(augmentation RNG stream differs from the unfused pipeline, so "
+        "compare fused runs only with fused runs).",
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--train_name", default="lsp_train")
     ap.add_argument("--val_name", default="lsp_val")
@@ -201,6 +212,7 @@ def main():
             checkpoint_every_epochs=10**9,
             scalar_log_step=50,
             steps_per_call=args.steps_per_call,
+            fuse_preprocess=args.fuse_preprocess,
             seed=args.seed,
             **overrides,
         )
@@ -212,12 +224,25 @@ def main():
         val_files = [os.path.join(out_dir, f"{args.val_name}.tfrecords")]
         trainer = Trainer(
             obj_cfg,
-            dataset=ImagePipeline(obj_cfg, files=files, mode="train"),
+            dataset=ImagePipeline(
+                obj_cfg,
+                files=files,
+                mode="train",
+                device_preprocess=not args.fuse_preprocess,
+                cache=True,  # 512-image corpus: decode once, not per epoch
+            ),
+            # eval path stays on the device-preprocess pipeline (val_step
+            # consumes GenBatch; augment=False so it is deterministic)
             val_dataset=ImagePipeline(
-                cfg, files=val_files, mode="val", augment=False
+                cfg, files=val_files, mode="val", augment=False, cache=True
             ),
         )
-        trainer.mocap_dataset = MocapPipeline(obj_cfg, trainer.smpl, shuffle=True)
+        trainer.mocap_dataset = MocapPipeline(
+            obj_cfg,
+            trainer.smpl,
+            shuffle=True,
+            device_forward=not args.fuse_preprocess,
+        )
         # eval with both metrics on regardless of the training objective
         from human_pose_estimation_tpu.train.step import make_val_step
         import jax

@@ -180,6 +180,7 @@ class ImagePipeline:
         device_preprocess: bool = True,
         num_shards: Optional[int] = None,
         shard_index: Optional[int] = None,
+        cache: bool = False,
     ):
         tf = _tf()
         self.cfg = cfg
@@ -220,17 +221,30 @@ class ImagePipeline:
         ds = tf.data.TFRecordDataset(self.files)
         if example_shard is not None:
             ds = ds.shard(*example_shard)
-        if shuffle:
-            ds = ds.shuffle(10000, seed=cfg.seed)
-        if repeat:
-            ds = ds.repeat()
         half = self.window_half
-        ds = ds.map(
-            lambda s: _fit_to_canvas(
-                tf, tfrecords.parse_image_example(s), canvas, window_half=half
-            ),
-            num_parallel_calls=tf.data.AUTOTUNE,
+        parse = lambda s: _fit_to_canvas(  # noqa: E731
+            tf, tfrecords.parse_image_example(s), canvas, window_half=half
         )
+        if cache:
+            # Small-corpus hot loop (e.g. the closed-loop quality bench:
+            # 512 images cycled every 16 steps): decode + canvas ONCE into
+            # an in-memory cache, then shuffle/repeat from it — on a
+            # host-CPU-bound box the per-epoch JPEG re-decode otherwise
+            # dominates the training loop. Element set per epoch is
+            # identical; only the (seeded) shuffle order differs from the
+            # uncached stream, so keep one cache setting across compared
+            # runs. Off by default: production corpora don't fit in RAM.
+            ds = ds.map(parse, num_parallel_calls=tf.data.AUTOTUNE).cache()
+            if shuffle:
+                ds = ds.shuffle(10000, seed=cfg.seed)
+            if repeat:
+                ds = ds.repeat()
+        else:
+            if shuffle:
+                ds = ds.shuffle(10000, seed=cfg.seed)
+            if repeat:
+                ds = ds.repeat()
+            ds = ds.map(parse, num_parallel_calls=tf.data.AUTOTUNE)
         ds = ds.batch(self.batch_size, drop_remainder=repeat)
         self.ds = ds.prefetch(tf.data.AUTOTUNE)
 

@@ -71,6 +71,44 @@ def test_image_pipeline_eval_partial_batch(image_record):
     assert batches[-1][1] == n % 4 or batches[-1][1] == 4
 
 
+def test_image_pipeline_cache(image_record):
+    """cache=True (decode-once hot loop): an eval pipeline yields the
+    byte-identical stream cached or not, on the first AND second pass
+    (second pass reads from the populated cache); a cached train
+    pipeline yields each example exactly once per epoch."""
+    data_dir, path, n = image_record
+    cfg = Config(data_dir=data_dir, batch_size=2, img_size=64)
+    plain = [
+        np.asarray(b.images)
+        for b, _ in ImagePipeline(
+            cfg, files=[path], mode="val", augment=False, canvas=128
+        )
+    ]
+    cached_pipe = ImagePipeline(
+        cfg, files=[path], mode="val", augment=False, canvas=128, cache=True
+    )
+    for _pass in range(2):
+        got = [np.asarray(b.images) for b, _ in cached_pipe]
+        assert len(got) == len(plain)
+        for x, y in zip(plain, got):
+            np.testing.assert_array_equal(x, y)
+
+    train_pipe = ImagePipeline(
+        cfg, files=[path], mode="train", augment=False, canvas=128, cache=True
+    )
+    it = iter(train_pipe)
+    seen = []
+    for _ in range(n // 2 * 2):  # two epochs of batches
+        b, nv = next(it)
+        assert nv == 2
+        seen.append(np.asarray(b.kp2d))
+    # per-epoch multiset of label rows identical across the two epochs
+    ep = n // 2
+    first = np.sort(np.concatenate(seen[:ep]).reshape(n, -1), axis=0)
+    second = np.sort(np.concatenate(seen[ep:]).reshape(n, -1), axis=0)
+    np.testing.assert_allclose(first, second, rtol=0, atol=1e-6)
+
+
 def test_image_pipeline_deterministic_eval(image_record):
     data_dir, path, n = image_record
     cfg = Config(data_dir=data_dir, batch_size=2, img_size=64)
